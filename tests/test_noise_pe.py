@@ -1,0 +1,63 @@
+"""NoisePE tests: determinism, block invariance, spectral sanity."""
+
+import numpy as np
+
+from pygmu2_tpu import NoiseMode, NoisePE
+
+
+class TestWhite:
+    def test_deterministic_by_seed(self):
+        a = NoisePE(seed=42).render(0, 1000).data
+        b = NoisePE(seed=42).render(0, 1000).data
+        c = NoisePE(seed=43).render(0, 1000).data
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, c)
+
+    def test_block_invariance(self):
+        # Counter-based noise: chunked == one-shot.
+        pe = NoisePE(seed=7)
+        one = pe.render(0, 1000).data
+        pe2 = NoisePE(seed=7)
+        parts = [pe2.render(i * 250, 250).data for i in range(4)]
+        np.testing.assert_array_equal(np.concatenate(parts), one)
+
+    def test_range_default(self):
+        d = NoisePE(seed=1).render(0, 10000).data
+        assert d.min() >= -1.0 and d.max() < 1.0
+        assert abs(d.mean()) < 0.05  # roughly zero-mean uniform
+
+    def test_custom_range(self):
+        d = NoisePE(min_value=0.0, max_value=2.0, seed=1).render(0, 5000).data
+        assert d.min() >= 0.0 and d.max() <= 2.0
+        assert abs(d.mean() - 1.0) < 0.05
+
+
+class TestColors:
+    def _spectrum_slope(self, x, sr=44100):
+        """dB/octave slope of the power spectrum between 100 Hz and 10 kHz."""
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(len(x), 1 / sr)
+        mask = (freqs > 100) & (freqs < 10000)
+        logf = np.log2(freqs[mask])
+        logp = 10 * np.log10(spec[mask] + 1e-30)
+        return np.polyfit(logf, logp, 1)[0]
+
+    def test_pink_slope(self):
+        x = NoisePE(seed=3, mode=NoiseMode.PINK).render(0, 1 << 16).data[:, 0]
+        slope = self._spectrum_slope(x)
+        assert -5.0 < slope < -1.5  # ≈ −3 dB/octave
+
+    def test_brown_slope(self):
+        x = NoisePE(seed=3, mode=NoiseMode.BROWN).render(0, 1 << 16).data[:, 0]
+        slope = self._spectrum_slope(x)
+        assert slope < -4.5  # ≈ −6 dB/octave
+
+    def test_brown_bounded(self):
+        x = NoisePE(seed=3, mode=NoiseMode.BROWN).render(0, 1 << 15).data
+        assert np.abs(x).max() <= 1.0
+
+    def test_pink_state_carry_is_contiguous(self):
+        pe = NoisePE(seed=9, mode=NoiseMode.PINK)
+        one = NoisePE(seed=9, mode=NoiseMode.PINK).render(0, 800).data
+        parts = [pe.render(i * 200, 200).data for i in range(4)]
+        np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
