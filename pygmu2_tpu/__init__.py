@@ -41,6 +41,7 @@ from pygmu2_tpu.models.basic import (
     TransformPE,
 )
 from pygmu2_tpu.models.delay import DelayPE
+from pygmu2_tpu.models.filters import BiquadPE, SVFilterPE
 from pygmu2_tpu.models.io_pes import AudioReaderPE, WavReaderPE, WavWriterPE
 from pygmu2_tpu.models.modes import (
     BiquadMode,
@@ -116,6 +117,8 @@ __all__ = [
     # Processing elements
     "ArrayPE",
     "AudioReaderPE",
+    "BiquadPE",
+    "SVFilterPE",
     "ConstantPE",
     "CropPE",
     "DelayPE",

@@ -72,24 +72,24 @@ def affine_scan_nd(A, u, s0):
 
 
 def biquad_filter(x, b0, b1, b2, a1, a2, zi=None):
-    """Direct-form-II-transposed biquad, batched over channels, parallel
-    over time.
+    """Direct-form-I biquad, batched over channels, parallel over time.
 
-        y[n] = b0·x[n] + s1[n-1]
-        s1[n] = b1·x[n] − a1·y[n] + s2[n-1]
-        s2[n] = b2·x[n] − a2·y[n]
+        y[n] = b0·x[n] + b1·x[n−1] + b2·x[n−2] − a1·y[n−1] − a2·y[n−2]
 
-    Eliminating y gives the affine state recurrence with
-        A = [[−a1, 1], [−a2, 0]],  u[n] = [b1−a1·b0, b2−a2·b0]·x[n].
+    The FIR half vectorizes directly; the feedback half is the order-2
+    affine recurrence A[n] = [[−a1, −a2], [1, 0]], u[n] = [fir[n], 0],
+    solved with the associative scan. DF1 matches the reference's
+    time-varying semantics exactly (coefficients apply at the output
+    sample; DF2T would smear them across steps).
 
     Args:
         x: (T, C) input.
-        b0..a2: scalars or (T,) / (T, 1) arrays (time-varying coefficients;
-            the same parallel scan covers modulated filters).
-        zi: (C, 2) initial DF2T state [s1, s2], or None.
+        b0..a2: scalars or (T,) / (T, 1) arrays (time-varying OK).
+        zi: carried state dict {"x": (2, C) last two inputs [x[-1], x[-2]],
+            "y": (2, C) last two outputs}, or None for zeros.
 
     Returns:
-        (y, zf): (T, C) output and (C, 2) final state.
+        (y, zf): (T, C) output and the carried state for the next block.
     """
     T, C = x.shape
     dt = x.dtype
@@ -102,31 +102,37 @@ def biquad_filter(x, b0, b1, b2, a1, a2, zi=None):
 
     b0, b1, b2, a1, a2 = tv(b0), tv(b1), tv(b2), tv(a1), tv(a2)
 
-    # A: (T, 1-or-C, 2, 2); broadcasting across channels is free.
+    if zi is None:
+        x_tail = jnp.zeros((2, C), dt)
+        y_tail = jnp.zeros((2, C), dt)
+    else:
+        x_tail = jnp.asarray(zi["x"], dt)
+        y_tail = jnp.asarray(zi["y"], dt)
+
+    # FIR half on [x[-2], x[-1], x[0..T)] — fully parallel.
+    xp = jnp.concatenate([x_tail[::-1], x], axis=0)  # rows: x[-2], x[-1], x...
+    fir = b0 * xp[2:] + b1 * xp[1:-1] + b2 * xp[:-2]
+
     zero = jnp.zeros_like(a1)
     one = jnp.ones_like(a1)
     A = jnp.stack(
         [
-            jnp.stack([-a1, one], axis=-1),
-            jnp.stack([-a2, zero], axis=-1),
+            jnp.stack([-a1, -a2], axis=-1),
+            jnp.stack([one, zero], axis=-1),
         ],
         axis=-2,
     )
-    u = jnp.stack([(b1 - a1 * b0) * x, (b2 - a2 * b0) * x], axis=-1)  # (T,C,2)
-    Ab = jnp.broadcast_to(A, (T, C, 2, 2))
+    u = jnp.stack([fir, jnp.zeros_like(fir)], axis=-1)  # (T, C, 2)
+    Ab = jnp.broadcast_to(A, (T, C, 2, 2))  # A is (T, 1, 2, 2): coefs per-time
+    s0 = jnp.stack([y_tail[0], y_tail[1]], axis=-1)  # (C, 2) = [y[-1], y[-2]]
+    s = affine_scan_nd(Ab, u, s0)  # (T, C, 2); s[...,0] = y[n]
+    y = s[..., 0]
 
-    s0 = None if zi is None else jnp.asarray(zi, dtype=dt)
-    s = affine_scan_nd(Ab, u, s0)  # (T, C, 2)
-
-    s1_prev = jnp.concatenate(
-        [
-            (s0[None, :, 0] if s0 is not None else jnp.zeros((1, C), dt)),
-            s[:-1, :, 0],
-        ],
-        axis=0,
-    )
-    y = b0 * x + s1_prev
-    return y, s[-1]
+    zf = {
+        "x": jnp.stack([x[-1], x[-2] if T >= 2 else x_tail[0]], axis=0),
+        "y": jnp.stack([y[-1], y[-2] if T >= 2 else y_tail[0]], axis=0),
+    }
+    return y, zf
 
 
 def one_pole_smooth(x, coef, s0=None):
