@@ -56,9 +56,23 @@ from pygmu2_tpu.models.modes import (
     TransitionType,
     WindowMode,
 )
+from pygmu2_tpu.models.envelopes import AdsrGatedPE, AdsrTriggeredPE, EnvelopePE
+from pygmu2_tpu.models.gates import (
+    GateSignal,
+    PeriodicGate,
+    PeriodicTrigger,
+    TriggerSignal,
+)
+from pygmu2_tpu.models.holds import (
+    CachePE,
+    ControlPE,
+    SampleHoldPE,
+    SlewLimiterPE,
+    TrackHoldPE,
+)
 from pygmu2_tpu.models.loop_slice import LoopPE, SequencePE, SlicePE
 from pygmu2_tpu.models.noise import NoisePE
-from pygmu2_tpu.models.oscillators import SinePE
+from pygmu2_tpu.models.oscillators import FunctionGenPE, SinePE
 from pygmu2_tpu.models.piecewise import PiecewisePE
 from pygmu2_tpu.models.window import CropPE, SetExtentPE
 from pygmu2_tpu.utils.conversions import (
@@ -113,13 +127,26 @@ __all__ = [
     "ProfileReport",
     "PEProfile",
     "NullRenderer",
+    "GateSignal",
+    "TriggerSignal",
     "AudioRenderer",
     # Processing elements
+    "AdsrGatedPE",
+    "AdsrTriggeredPE",
     "ArrayPE",
     "AudioReaderPE",
     "BiquadPE",
     "SVFilterPE",
+    "CachePE",
     "ConstantPE",
+    "ControlPE",
+    "EnvelopePE",
+    "FunctionGenPE",
+    "PeriodicGate",
+    "PeriodicTrigger",
+    "SampleHoldPE",
+    "SlewLimiterPE",
+    "TrackHoldPE",
     "CropPE",
     "DelayPE",
     "DiracPE",

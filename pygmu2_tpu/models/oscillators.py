@@ -118,3 +118,117 @@ class SinePE(ProcessingElement):
             f"SinePE(frequency={s(self._frequency)}, amplitude={s(self._amplitude)}, "
             f"phase={s(self._phase)}, channels={self._channels})"
         )
+
+
+class FunctionGenPE(ProcessingElement):
+    """Naive (aliasing) rectangle / saw-triangle-morph generator.
+
+    TPU-native rebuild of the reference FunctionGenPE (reference:
+    src/pygmu2/function_gen_pe.py:36-210). Duty controls pulse width
+    (rectangle) or the saw↔triangle morph. Pure when all params are
+    constants (phase from the absolute index); modulated parameters
+    integrate frequency with a carried phase, which resets to 0 on
+    non-contiguous requests (reference behavior).
+    """
+
+    WAVE_RECTANGLE = "rectangle"
+    WAVE_SAWTOOTH = "sawtooth"
+
+    def __init__(
+        self,
+        frequency=1.0,
+        duty_cycle=0.5,
+        phase=0.0,
+        waveform: str = "rectangle",
+        channels: int = 1,
+    ):
+        self._frequency = frequency
+        self._duty_cycle = duty_cycle
+        self._phase_in = phase
+        self._waveform = str(waveform).lower()
+        self._channels = int(channels)
+        if self._waveform not in (self.WAVE_RECTANGLE, self.WAVE_SAWTOOTH):
+            raise ValueError(
+                f"waveform must be 'rectangle' or 'sawtooth', got {waveform!r}"
+            )
+        if self._channels < 1:
+            raise ValueError(f"channels must be >= 1, got {channels}")
+
+    @property
+    def frequency(self):
+        return self._frequency
+
+    @property
+    def duty_cycle(self):
+        return self._duty_cycle
+
+    @property
+    def phase(self):
+        return self._phase_in
+
+    @property
+    def waveform(self) -> str:
+        return self._waveform
+
+    def inputs(self) -> list[ProcessingElement]:
+        return [
+            p
+            for p in (self._frequency, self._duty_cycle, self._phase_in)
+            if isinstance(p, ProcessingElement)
+        ]
+
+    def is_pure(self) -> bool:
+        return not self.inputs()
+
+    def channel_count(self) -> int:
+        return self._channels
+
+    def _compute_extent(self) -> Extent:
+        ext = Extent(None, None)
+        for inp in self.inputs():
+            ext = ext.intersection(inp.extent())
+        return ext
+
+    @staticmethod
+    def _saw_triangle(phase, duty):
+        """duty=0 → rising saw, 0.5 → triangle, 1 → falling saw."""
+        duty = jnp.clip(duty, 0.0, 1.0)
+        eps = 1e-12
+        a = jnp.clip(1.0 - duty, eps, 1.0 - eps)
+        rising = -1.0 + 2.0 * (phase / a)
+        falling = 1.0 - 2.0 * ((phase - a) / (1.0 - a))
+        mid = jnp.where(phase < a, rising, falling)
+        mid = jnp.where(duty <= eps, 2.0 * phase - 1.0, mid)
+        return jnp.where(duty >= 1.0 - eps, 1.0 - 2.0 * phase, mid)
+
+    def _trace(self, ctx):
+        sr = ctx.sample_rate
+        freq = ctx.param(self._frequency, dtype=prec.WIDE)
+        duty = ctx.param(self._duty_cycle, dtype=prec.WIDE)
+        ph_in = ctx.param(self._phase_in, dtype=prec.WIDE)
+        dt = freq / sr
+
+        if self.is_pure():
+            idx = ctx.times(prec.WIDE)
+            base = jnp.mod(idx * dt[0], 1.0)
+        else:
+            acc, _ = ctx.state(self, init=jnp.zeros((), prec.WIDE))
+            # Phase BEFORE each sample's increment (reference convention).
+            inc = jnp.concatenate([jnp.zeros((1,), prec.WIDE), jnp.cumsum(dt[:-1])])
+            base = jnp.mod(acc + inc, 1.0)
+            ctx.set_state(self, jnp.mod(acc + jnp.sum(dt), 1.0))
+
+        phase = jnp.mod(base + ph_in, 1.0)
+        if self._waveform == self.WAVE_RECTANGLE:
+            y = jnp.where(phase < jnp.clip(duty, 0.0, 1.0), 1.0, -1.0)
+        else:
+            y = self._saw_triangle(phase, duty)
+        out = y.astype(prec.AUDIO)[:, None]
+        if self._channels > 1:
+            out = jnp.tile(out, (1, self._channels))
+        return out
+
+    def __repr__(self) -> str:
+        return (
+            f"FunctionGenPE(waveform={self._waveform}, channels={self._channels})"
+        )
