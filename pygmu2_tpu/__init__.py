@@ -72,7 +72,14 @@ from pygmu2_tpu.models.holds import (
 )
 from pygmu2_tpu.models.loop_slice import LoopPE, SequencePE, SlicePE
 from pygmu2_tpu.models.noise import NoisePE
+from pygmu2_tpu.models.lookup import TimeWarpPE, WavetablePE, WindowPE
 from pygmu2_tpu.models.oscillators import FunctionGenPE, SinePE
+from pygmu2_tpu.models.physical import (
+    CombPE,
+    KarplusStrongPE,
+    LadderPE,
+    rho_for_decay_db,
+)
 from pygmu2_tpu.models.piecewise import PiecewisePE
 from pygmu2_tpu.models.window import CropPE, SetExtentPE
 from pygmu2_tpu.utils.conversions import (
@@ -152,8 +159,15 @@ __all__ = [
     "DiracPE",
     "GainPE",
     "IdentityPE",
+    "KarplusStrongPE",
+    "rho_for_decay_db",
+    "LadderPE",
+    "CombPE",
     "LoopPE",
     "MixPE",
+    "TimeWarpPE",
+    "WavetablePE",
+    "WindowPE",
     "NoisePE",
     "PiecewisePE",
     "SequencePE",
