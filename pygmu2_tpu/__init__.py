@@ -40,7 +40,14 @@ from pygmu2_tpu.models.basic import (
     MixPE,
     TransformPE,
 )
+from pygmu2_tpu.models.convolve import ConvolvePE, ReverbPE
 from pygmu2_tpu.models.delay import DelayPE
+from pygmu2_tpu.models.dynamics import (
+    CompressorPE,
+    DynamicsPE,
+    ExpanderPE,
+    LimiterPE,
+)
 from pygmu2_tpu.models.filters import BiquadPE, SVFilterPE
 from pygmu2_tpu.models.io_pes import AudioReaderPE, WavReaderPE, WavWriterPE
 from pygmu2_tpu.models.modes import (
@@ -80,7 +87,19 @@ from pygmu2_tpu.models.physical import (
     LadderPE,
     rho_for_decay_db,
 )
+from pygmu2_tpu.models.midi_in import MidiInPE
 from pygmu2_tpu.models.piecewise import PiecewisePE
+from pygmu2_tpu.models.reverse_echo import ReversePitchEchoPE
+from pygmu2_tpu.models.spatial import (
+    SpatialAdapter,
+    SpatialConstantPower,
+    SpatialHRTF,
+    SpatialLinear,
+    SpatialMethod,
+    SpatialPE,
+)
+from pygmu2_tpu.models.tralfam import TralfamPE
+from pygmu2_tpu.models.trigger_restart import RandomSelectPE, TriggerRestartPE
 from pygmu2_tpu.models.window import CropPE, SetExtentPE
 from pygmu2_tpu.utils.conversions import (
     db_to_ratio,
@@ -145,8 +164,14 @@ __all__ = [
     "BiquadPE",
     "SVFilterPE",
     "CachePE",
+    "CompressorPE",
     "ConstantPE",
     "ControlPE",
+    "ConvolvePE",
+    "DynamicsPE",
+    "ExpanderPE",
+    "LimiterPE",
+    "ReverbPE",
     "EnvelopePE",
     "FunctionGenPE",
     "PeriodicGate",
@@ -164,8 +189,19 @@ __all__ = [
     "LadderPE",
     "CombPE",
     "LoopPE",
+    "MidiInPE",
     "MixPE",
+    "RandomSelectPE",
+    "ReversePitchEchoPE",
+    "SpatialPE",
+    "SpatialMethod",
+    "SpatialAdapter",
+    "SpatialLinear",
+    "SpatialConstantPower",
+    "SpatialHRTF",
     "TimeWarpPE",
+    "TralfamPE",
+    "TriggerRestartPE",
     "WavetablePE",
     "WindowPE",
     "NoisePE",

@@ -1,0 +1,184 @@
+"""Trigger-driven restart and random selection.
+
+TPU-native rebuilds of:
+- TriggerRestartPE (reference: src/pygmu2/trigger_restart_pe.py:18-98) —
+  on each positive trigger, restart the source from its own t=0.
+- RandomSelectPE   (reference: src/pygmu2/random_select_pe.py:22-172) —
+  on each positive trigger, pick a weighted-random input and play it from
+  its start.
+
+TPU design: the reference calls ``src.reset_state()`` mid-render and
+re-renders segments — data-dependent control flow that cannot live inside
+one compiled program. Here the source's full *finite* extent is rendered
+once per block (a static pull) and the restart becomes a gather at
+``local_time = t − t_last_event``, with the last-event time tracked by a
+parallel cummax latch. Selection randomness is a counter-based hash of
+the event time (reproducible by seed, block-invariant). Sources must have
+finite extent (wrap infinite sources in CropPE) — the static-shape analog
+of the reference's unbounded replay.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pygmu2_tpu.core import prec
+from pygmu2_tpu.core.extent import Extent
+from pygmu2_tpu.core.processing_element import ProcessingElement
+from pygmu2_tpu.ops.noise import white_uniform
+
+_NO_EVENT = np.int64(-(2**62))
+
+
+def _finite_len(pe: ProcessingElement, what: str) -> tuple[int, int]:
+    ext = pe.extent()
+    if ext.start is None or ext.end is None:
+        raise ValueError(
+            f"{what} requires a source with finite extent (got {ext}); "
+            "wrap it in CropPE."
+        )
+    return ext.start, ext.end - ext.start
+
+
+def _event_latch(ctx, self_pe, trig, t):
+    """Absolute time of the latest positive trigger at/before each sample
+    (carried across blocks); _NO_EVENT where none has occurred yet."""
+    t0_carry, _ = ctx.state(self_pe, init=jnp.asarray(_NO_EVENT, prec.INDEX))
+    events = jnp.where(trig > 0, t, _NO_EVENT)
+    t0 = jax.lax.cummax(jnp.maximum(events, t0_carry))
+    ctx.set_state(self_pe, t0[-1])
+    return t0
+
+
+class TriggerRestartPE(ProcessingElement):
+    """Restart the source from local t=0 on every positive trigger."""
+
+    def __init__(self, trigger, src: ProcessingElement):
+        self._trigger = trigger
+        self._src = src
+
+    def inputs(self) -> list[ProcessingElement]:
+        return [self._trigger, self._src]
+
+    def is_pure(self) -> bool:
+        return False
+
+    def channel_count(self) -> int | None:
+        return self._src.channel_count()
+
+    def resolve_channel_count(self, input_channel_counts: list[int]) -> int:
+        if len(input_channel_counts) != 2:
+            raise ValueError("TriggerRestartPE expects exactly two inputs")
+        return input_channel_counts[1]
+
+    def _compute_extent(self) -> Extent:
+        return self._trigger.extent()
+
+    def _trace(self, ctx):
+        trig = ctx.pull(self._trigger)[:, 0]
+        t = ctx.times()
+        src_start, src_len = _finite_len(self._src, "TriggerRestartPE")
+        clip = ctx.pull_abs(self._src, src_start, src_len)  # (L, C)
+
+        t0 = _event_latch(ctx, self, trig, t)
+        local = t - t0
+        valid = (t0 != _NO_EVENT) & (local >= 0) & (local < src_len)
+        pos = jnp.clip(local, 0, src_len - 1).astype(jnp.int32)
+        return jnp.where(valid[:, None], clip[pos], 0.0)
+
+    def __repr__(self) -> str:
+        return (
+            f"TriggerRestartPE(trigger={type(self._trigger).__name__}, "
+            f"src={type(self._src).__name__})"
+        )
+
+
+class RandomSelectPE(ProcessingElement):
+    """Weighted-random input selection on each positive trigger."""
+
+    def __init__(self, trigger, inputs, weights=None, seed: int | None = None):
+        if not inputs:
+            raise ValueError("RandomSelectPE requires at least one input")
+        if weights is not None and len(weights) != len(inputs):
+            raise ValueError("weights must have the same length as inputs")
+        self._trigger = trigger
+        self._sources = list(inputs)
+        self._weights = list(weights) if weights is not None else None
+        self._seed = seed
+
+    def inputs(self) -> list[ProcessingElement]:
+        return [self._trigger] + self._sources
+
+    def is_pure(self) -> bool:
+        return False
+
+    def channel_count(self) -> int | None:
+        return self._sources[0].channel_count()
+
+    def resolve_channel_count(self, input_channel_counts: list[int]) -> int:
+        if len(input_channel_counts) < 2:
+            raise ValueError("RandomSelectPE has no audio inputs")
+        audio = input_channel_counts[1:]
+        first = audio[0]
+        for i, cc in enumerate(audio[1:], start=2):
+            if cc != first:
+                raise ValueError(
+                    f"RandomSelectPE channel mismatch: input 1 has {first}, "
+                    f"input {i} has {cc}"
+                )
+        return first
+
+    def _compute_extent(self) -> Extent:
+        return self._trigger.extent()
+
+    def _trace(self, ctx):
+        trig = ctx.pull(self._trigger)[:, 0]
+        t = ctx.times()
+
+        clips = []
+        max_len = 0
+        for src in self._sources:
+            s0, length = _finite_len(src, "RandomSelectPE")
+            clips.append((s0, length))
+            max_len = max(max_len, length)
+        stacked = []
+        for src, (s0, length) in zip(self._sources, clips):
+            clip = ctx.pull_abs(src, s0, length)
+            if length < max_len:
+                clip = jnp.concatenate(
+                    [clip, jnp.zeros((max_len - length, clip.shape[1]), clip.dtype)],
+                    axis=0,
+                )
+            stacked.append(clip)
+        bank = jnp.stack(stacked)  # (K, max_len, C)
+        lens = jnp.asarray([length for _, length in clips], prec.INDEX)
+
+        t0 = _event_latch(ctx, self, trig, t)
+
+        # Weighted choice keyed by the event time (stable per event).
+        w = np.asarray(
+            self._weights
+            if self._weights is not None
+            else [1.0] * len(self._sources),
+            dtype=np.float64,
+        )
+        cum = jnp.asarray(np.cumsum(w / w.sum()), jnp.float32)
+        u = (white_uniform(t0, seed=(self._seed or 0) ^ 0x5EED) + 1.0) * 0.5
+        k = jnp.clip(
+            jnp.searchsorted(cum, u, side="right"), 0, len(self._sources) - 1
+        ).astype(jnp.int32)
+
+        local = t - t0
+        valid = (t0 != _NO_EVENT) & (local >= 0) & (local < lens[k])
+        pos = jnp.clip(local, 0, max_len - 1).astype(jnp.int32)
+        out = bank[k, pos]  # (T, C)
+        return jnp.where(valid[:, None], out, 0.0)
+
+    def __repr__(self) -> str:
+        return (
+            f"RandomSelectPE(trigger={type(self._trigger).__name__}, "
+            f"n_inputs={len(self._sources)})"
+        )

@@ -36,6 +36,17 @@ def load_reference():
         for name in ("soundfile", "sounddevice", "miniaudio", "mido"):
             if name not in sys.modules:
                 sys.modules[name] = types.ModuleType(name)
+        sf = sys.modules["soundfile"]
+        if not hasattr(sf, "read"):
+            from pygmu2_tpu.utils import wavio
+
+            def _sf_read(path, dtype="float32", **kwargs):
+                data, sr = wavio.read_wav(path)
+                if data.shape[1] == 1:
+                    data = data[:, 0]
+                return data.astype(dtype), sr
+
+            sf.read = _sf_read
         if "numba" not in sys.modules:
             nb = types.ModuleType("numba")
 
