@@ -80,7 +80,9 @@ from pygmu2_tpu.models.holds import (
 from pygmu2_tpu.models.loop_slice import LoopPE, SequencePE, SlicePE
 from pygmu2_tpu.models.noise import NoisePE
 from pygmu2_tpu.models.lookup import TimeWarpPE, WavetablePE, WindowPE
+from pygmu2_tpu.models.osc_bandlimited import AnalogOscPE, BlitSawPE, SuperSawPE
 from pygmu2_tpu.models.oscillators import FunctionGenPE, SinePE
+from pygmu2_tpu.models.portamento import PortamentoPE
 from pygmu2_tpu.models.physical import (
     CombPE,
     KarplusStrongPE,
@@ -159,7 +161,11 @@ __all__ = [
     # Processing elements
     "AdsrGatedPE",
     "AdsrTriggeredPE",
+    "AnalogOscPE",
     "ArrayPE",
+    "BlitSawPE",
+    "SuperSawPE",
+    "PortamentoPE",
     "AudioReaderPE",
     "BiquadPE",
     "SVFilterPE",
