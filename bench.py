@@ -1,77 +1,124 @@
 #!/usr/bin/env python
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: real-time factor (audio-seconds per wall-second) on one chip.
-Baseline anchor: the reference's best committed number — the vectorized
-meltysynth render at 12.37× realtime on CPU
-(reference: benchmarks/README_MELTYSYNTH_BENCH.md:50-53; BASELINE.md #2).
+Headline (BASELINE.json north star): the meltysynth SoundFont MIDI render
+at 128-voice polyphony — real-time factor on one chip. Baseline anchor:
+the reference's vectorized meltysynth render at 12.37× realtime on CPU
+(reference: benchmarks/README_MELTYSYNTH_BENCH.md:50-53). Target ≥1000×.
 
-Until the SoundFont engine lands, the benched workload is the heaviest
-end-to-end graph currently supported: a 64-voice additive/filtered synth
-graph (64 modulated sines → swept biquad → mix), 10 s @ 44.1 kHz,
-scan-rendered in one XLA launch. vs_baseline = RTF / 12.37.
+Workload: 128 simultaneous notes (16 channels × 8 keys) over a synthetic
+multi-sample SoundFont (the TimGM6mb.sf2 asset is stripped from the
+mirror), 3 s @ 44.1 kHz, block 1024 (the reference benchmark's block
+size), rendered offline via the scanned voice-field engine.
 
-Run on the TPU (default backend); first run pays a one-time XLA compile
-(persistent cache under ~/.cache/pygmu2_tpu_xla).
+First run pays a one-time XLA compile (persistent cache under
+~/.cache/pygmu2_tpu_xla).
 """
 
 import json
+import struct
 import sys
 import time
 
 
-def build_graph(pg, n_voices: int = 64):
-    """64-voice detuned synth: sine stack → swept lowpass → soft clip."""
-    voices = []
-    for v in range(n_voices):
-        freq = 110.0 * (1 + v % 16) * (1.0 + 0.0003 * v)
-        voices.append(pg.SinePE(frequency=freq, amplitude=1.0 / n_voices))
-    mix = pg.MixPE(voices)
-    sweep = pg.PiecewisePE([(0, 400.0), (10 * 44100, 8000.0)])
-    filt = pg.BiquadPE(mix, sweep, 2.0, mode=pg.BiquadMode.LOWPASS)
-    import jax.numpy as jnp
+def build_workload():
+    import numpy as np
 
-    return pg.CropPE(pg.TransformPE(filt, jnp.tanh), 0, 10 * 44100)
+    from pygmu2_tpu.soundfont import MidiFile, SoundFont, Synthesizer, SynthesizerSettings
+    from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
+
+    font = SoundFont(
+        build_sf2(
+            [
+                {
+                    "data": make_looped_sample(261.63, harmonics=6),
+                    "rate": 44100,
+                    "root_key": 60,
+                    "loop": True,
+                    "attack_tc": -9000,
+                    "release_tc": -4000,
+                }
+            ]
+        )
+    )
+
+    # 128-voice chord spread over 16 channels; note-offs at 2.0 s.
+    events = []
+    keys = [48, 52, 55, 60, 64, 67, 72, 76]
+    for ch in range(16):
+        for k in keys:
+            events.append((0.0, 0x90 | ch, k + (ch % 3), 100))
+    for ch in range(16):
+        for k in keys:
+            events.append((2.0, 0x80 | ch, k + (ch % 3), 0))
+
+    def varint(v):
+        out = [v & 0x7F]
+        v >>= 7
+        while v:
+            out.append(0x80 | (v & 0x7F))
+            v >>= 7
+        return bytes(reversed(out))
+
+    resolution, bpm = 480, 120
+    tick_per_sec = resolution * bpm / 60.0
+    body = b""
+    last = 0
+    for t, status, d1, d2 in events:
+        tick = int(round(t * tick_per_sec))
+        body += varint(tick - last) + bytes([status, d1, d2])
+        last = tick
+    body += varint(0) + b"\xff\x2f\x00"
+    midi = MidiFile(
+        b"MThd"
+        + struct.pack(">ihhh", 6, 0, 1, resolution)
+        + b"MTrk"
+        + struct.pack(">i", len(body))
+        + body
+    )
+
+    synth = Synthesizer(
+        font,
+        SynthesizerSettings(
+            sample_rate=44100, block_size=1024, maximum_polyphony=128
+        ),
+    )
+    return synth, midi
 
 
 def main():
     import jax
+    import numpy as np
 
-    import pygmu2_tpu as pg
-    from pygmu2_tpu.core import engine
+    synth, midi = build_workload()
+    seconds = 3.0
 
-    pg.set_sample_rate(44100)
-    seconds = 10
-    total = seconds * 44100
-    graph = build_graph(pg)
-
-    # Warm-up (compile) run, then timed runs.
-    out = engine.render_scan(graph, 0, total, 16384)
-    jax.block_until_ready(out)
+    # Warm-up (compile + event simulation).
+    out = synth.render_midi_schedule(midi, seconds)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0.01
 
     runs = []
     for _ in range(5):
-        graph2 = graph  # same program, state reset irrelevant (pure graph + filter state)
         t0 = time.perf_counter()
-        out = engine.render_scan(graph2, 0, total, 16384)
-        jax.block_until_ready(out)
+        out = synth.render_midi_schedule(midi, seconds)
         runs.append(time.perf_counter() - t0)
     wall = min(runs)
     rtf = seconds / wall
-    msps = total / wall / 1e6
+    total = int(seconds * 44100)
 
     print(
         json.dumps(
             {
-                "metric": "realtime_factor_64voice_synth_graph",
+                "metric": "meltysynth_128voice_realtime_factor",
                 "value": round(rtf, 1),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 12.37, 2),
                 "detail": {
                     "wall_s": round(wall, 4),
-                    "msamples_per_s": round(msps, 1),
+                    "msamples_per_s": round(total / wall / 1e6, 1),
                     "backend": jax.default_backend(),
-                    "workload": "64 sine voices -> swept biquad -> tanh, 10 s @ 44.1 kHz",
+                    "workload": "128-voice SoundFont MIDI render, 3 s @ 44.1 kHz, block 1024",
+                    "baseline": "reference vectorized meltysynth 12.37x realtime (CPU)",
                 },
             }
         )

@@ -89,6 +89,7 @@ from pygmu2_tpu.models.physical import (
     LadderPE,
     rho_for_decay_db,
 )
+from pygmu2_tpu.models.meltysynth_pe import MeltysynthPE
 from pygmu2_tpu.models.midi_in import MidiInPE
 from pygmu2_tpu.models.piecewise import PiecewisePE
 from pygmu2_tpu.models.reverse_echo import ReversePitchEchoPE
@@ -103,6 +104,14 @@ from pygmu2_tpu.models.spatial import (
 from pygmu2_tpu.models.tralfam import TralfamPE
 from pygmu2_tpu.models.trigger_restart import RandomSelectPE, TriggerRestartPE
 from pygmu2_tpu.models.window import CropPE, SetExtentPE
+from pygmu2_tpu.utils.assets import (
+    AssetLoader,
+    AssetManager,
+    AudioLibrary,
+    GithubUserContentAssetLoader,
+    GoogleDriveAssetLoader,
+)
+from pygmu2_tpu.utils.debug import print_pe_tree
 from pygmu2_tpu.utils.conversions import (
     db_to_ratio,
     freq_to_pitch,
@@ -195,6 +204,7 @@ __all__ = [
     "LadderPE",
     "CombPE",
     "LoopPE",
+    "MeltysynthPE",
     "MidiInPE",
     "MixPE",
     "RandomSelectPE",
@@ -253,6 +263,14 @@ __all__ = [
     "set_concert_pitch",
     "set_verdi_tuning",
     "set_baroque_pitch",
+    # Assets
+    "AssetLoader",
+    "AssetManager",
+    "AudioLibrary",
+    "GoogleDriveAssetLoader",
+    "GithubUserContentAssetLoader",
+    # Debug
+    "print_pe_tree",
     # Playback utilities
     "browse",
     "play",

@@ -1,0 +1,1052 @@
+"""SoundFont synthesizer: host event machine + TPU voice-field engine.
+
+TPU-native rebuild of the reference synth layer (reference:
+src/pygmu2/meltysynth/synth/* — Synthesizer, Voice, VoiceCollection,
+Channel, envelopes, LFOs, Oscillator, BiQuadFilter). The redesign:
+
+* The reference iterates Python ``Voice`` objects per block. Here ALL
+  per-voice quantities are struct-of-arrays of shape ``(polyphony,)``
+  and one jitted kernel renders a whole block for every voice at once:
+  envelopes/LFOs evaluate as closed-form functions of voice time (the
+  reference's per-block state machines reduce to piecewise formulas),
+  the oscillator is a fused gather+lerp over ``(voices, block)``, the
+  per-voice lowpass runs as a batched order-2 affine scan, and the
+  stereo mixdown is an einsum over voices.
+
+* MIDI/event handling stays host-side: ``note_on`` resolves SF2 regions
+  to a flat numeric parameter record (see ``params.resolve_voice_params``)
+  written into numpy mirrors that are fed to the kernel each block.
+  Voice allocation/stealing uses the same closed forms on the host.
+
+* Offline rendering (``render_midi_schedule``) pre-simulates the event
+  timeline into parameter snapshots and scans the whole piece in ONE
+  device launch — the meltysynth benchmark path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from pygmu2_tpu.core import prec  # noqa: F401 (x64 on before jax)
+import jax
+import jax.numpy as jnp
+
+from pygmu2_tpu.soundfont.midi import MidiFile, MidiMessageType
+from pygmu2_tpu.soundfont.model import LoopMode, MeltysynthError, SoundFont
+from pygmu2_tpu.soundfont.params import (
+    HALF_PI,
+    NON_AUDIBLE,
+    RegionPair,
+    VoiceParams,
+    resolve_voice_params,
+)
+
+LOG_NON_AUDIBLE = math.log(NON_AUDIBLE)
+_NO_RELEASE = np.int64(2**62)
+
+# Parameter fields: (name, dtype). All arrays are (polyphony,).
+_PAR_FIELDS = [
+    ("epoch", np.int32),
+    ("channel", np.int32),
+    ("key", np.float32),
+    ("note_gain", np.float32),
+    ("cutoff", np.float32),
+    ("resonance", np.float32),
+    ("vib2pitch", np.float32),
+    ("mod2pitch", np.float32),
+    ("modenv2pitch", np.float32),
+    ("modlfo2cut", np.float32),
+    ("modenv2cut", np.float32),
+    ("modlfo2vol", np.float32),
+    ("inst_pan", np.float32),
+    ("v_att_start", np.float32),
+    ("v_hold_start", np.float32),
+    ("v_dec_start", np.float32),
+    ("v_att_slope", np.float32),
+    ("v_dec_slope", np.float32),
+    ("v_rel_slope", np.float32),
+    ("v_sustain", np.float32),
+    ("m_att_start", np.float32),
+    ("m_hold_start", np.float32),
+    ("m_dec_start", np.float32),
+    ("m_att_slope", np.float32),
+    ("m_dec_slope", np.float32),
+    ("m_dec_end", np.float32),
+    ("m_rel_dur", np.float32),
+    ("m_sustain", np.float32),
+    ("vib_delay", np.float32),
+    ("vib_period", np.float32),
+    ("mod_delay", np.float32),
+    ("mod_period", np.float32),
+    ("smp_start", np.float64),
+    ("smp_end", np.float64),
+    ("loop_start", np.float64),
+    ("loop_end", np.float64),
+    ("loop_mode", np.int32),
+    ("root_key", np.float32),
+    ("tune", np.float32),
+    ("pitch_scale", np.float32),
+    ("srate_ratio", np.float64),
+    ("release_req", np.int64),
+]
+
+_CH_FIELDS = [
+    ("ch_mod", np.float32),
+    ("ch_vol_exp", np.float32),
+    ("ch_pan", np.float32),
+    ("ch_pitch", np.float32),
+    ("ch_hold", np.bool_),
+]
+
+
+@dataclass
+class SynthesizerSettings:
+    """Reference: synth/settings.py (block 8–1024 default 64)."""
+
+    sample_rate: int = 44100
+    block_size: int = 64
+    maximum_polyphony: int = 64
+    enable_reverb_and_chorus: bool = True
+
+    def __post_init__(self):
+        if not (8 <= self.block_size <= 1024):
+            raise MeltysynthError("block_size must be in [8, 1024]")
+        if not (8 <= self.maximum_polyphony <= 256):
+            raise MeltysynthError("maximum_polyphony must be in [8, 256]")
+
+
+class Channel:
+    """Per-MIDI-channel controller state (reference: synth/channel.py)."""
+
+    def __init__(self, is_percussion: bool):
+        self.is_percussion_channel = is_percussion
+        self.reset()
+
+    def reset(self):
+        self.bank_number = 128 if self.is_percussion_channel else 0
+        self.patch_number = 0
+        self._modulation = 0
+        self._volume = 100 << 7
+        self._pan = 64 << 7
+        self._expression = 127 << 7
+        self.hold_pedal = False
+        self._reverb_send = 40
+        self._chorus_send = 0
+        self._rpn = -1
+        self._pitch_bend_range = 2 << 7
+        self._coarse_tune = 0
+        self._fine_tune = 8192
+        self._pitch_bend = 0.0
+
+    def reset_all_controllers(self):
+        self._modulation = 0
+        self._expression = 127 << 7
+        self.hold_pedal = False
+        self._rpn = -1
+        self._pitch_bend = 0.0
+
+    # 14-bit coarse/fine controller writes
+    def set_modulation_coarse(self, v):
+        self._modulation = (self._modulation & 0x7F) | (v << 7)
+
+    def set_modulation_fine(self, v):
+        self._modulation = (self._modulation & 0xFF80) | v
+
+    def set_volume_coarse(self, v):
+        self._volume = (self._volume & 0x7F) | (v << 7)
+
+    def set_volume_fine(self, v):
+        self._volume = (self._volume & 0xFF80) | v
+
+    def set_pan_coarse(self, v):
+        self._pan = (self._pan & 0x7F) | (v << 7)
+
+    def set_pan_fine(self, v):
+        self._pan = (self._pan & 0xFF80) | v
+
+    def set_expression_coarse(self, v):
+        self._expression = (self._expression & 0x7F) | (v << 7)
+
+    def set_expression_fine(self, v):
+        self._expression = (self._expression & 0xFF80) | v
+
+    def set_hold_pedal(self, v):
+        self.hold_pedal = v >= 64
+
+    def set_reverb_send(self, v):
+        self._reverb_send = v
+
+    def set_chorus_send(self, v):
+        self._chorus_send = v
+
+    def set_rpn_coarse(self, v):
+        self._rpn = (self._rpn & 0x7F) | (v << 7)
+
+    def set_rpn_fine(self, v):
+        self._rpn = (self._rpn & 0xFF80) | v
+
+    def data_entry_coarse(self, v):
+        if self._rpn == 0:
+            self._pitch_bend_range = (self._pitch_bend_range & 0x7F) | (v << 7)
+        elif self._rpn == 1:
+            self._fine_tune = (self._fine_tune & 0x7F) | (v << 7)
+        elif self._rpn == 2:
+            self._coarse_tune = v - 64
+
+    def data_entry_fine(self, v):
+        if self._rpn == 0:
+            self._pitch_bend_range = (self._pitch_bend_range & 0xFF80) | v
+        elif self._rpn == 1:
+            self._fine_tune = (self._fine_tune & 0xFF80) | v
+
+    def set_pitch_bend(self, data1, data2):
+        self._pitch_bend = (1.0 / 8192.0) * ((data1 | (data2 << 7)) - 8192)
+
+    @property
+    def modulation(self) -> float:
+        return (50.0 / 16383.0) * self._modulation
+
+    @property
+    def volume(self) -> float:
+        return (1.0 / 16383.0) * self._volume
+
+    @property
+    def pan(self) -> float:
+        return (100.0 / 16383.0) * self._pan - 50.0
+
+    @property
+    def expression(self) -> float:
+        return (1.0 / 16383.0) * self._expression
+
+    @property
+    def pitch_bend_range(self) -> float:
+        return (self._pitch_bend_range >> 7) + 0.01 * (
+            self._pitch_bend_range & 0x7F
+        )
+
+    @property
+    def tune(self) -> float:
+        return self._coarse_tune + (1.0 / 8192.0) * (self._fine_tune - 8192)
+
+    @property
+    def pitch_bend(self) -> float:
+        return self.pitch_bend_range * self._pitch_bend
+
+    @property
+    def reverb_send(self) -> float:
+        return (1.0 / 127.0) * self._reverb_send
+
+    @property
+    def chorus_send(self) -> float:
+        return (1.0 / 127.0) * self._chorus_send
+
+
+# ---- closed-form envelopes / LFOs (traced, vectorized over voices) -----
+
+
+def _exp_cutoff(x):
+    return jnp.where(x < LOG_NON_AUDIBLE, 0.0, jnp.exp(x))
+
+
+def _vol_env_value(t, par, released, rel_t, rel_level):
+    held = jnp.where(
+        t < par["v_att_start"],
+        0.0,
+        jnp.where(
+            t < par["v_hold_start"],
+            par["v_att_slope"] * (t - par["v_att_start"]),
+            jnp.where(
+                t < par["v_dec_start"],
+                1.0,
+                jnp.maximum(
+                    _exp_cutoff(par["v_dec_slope"] * (t - par["v_dec_start"])),
+                    par["v_sustain"],
+                ),
+            ),
+        ),
+    )
+    rel = rel_level * _exp_cutoff(par["v_rel_slope"] * (t - rel_t))
+    return jnp.where(released, rel, held)
+
+
+def _mod_env_value(t, par, released, rel_t, rel_level):
+    held = jnp.where(
+        t < par["m_att_start"],
+        0.0,
+        jnp.where(
+            t < par["m_hold_start"],
+            par["m_att_slope"] * (t - par["m_att_start"]),
+            jnp.where(
+                t < par["m_dec_start"],
+                1.0,
+                jnp.maximum(
+                    par["m_dec_slope"] * (par["m_dec_end"] - t),
+                    par["m_sustain"],
+                ),
+            ),
+        ),
+    )
+    rel = jnp.maximum(
+        rel_level * (1.0 - (t - rel_t) / jnp.maximum(par["m_rel_dur"], 1e-9)),
+        0.0,
+    )
+    return jnp.where(released, rel, held)
+
+
+def _lfo_value(t, delay, period):
+    active = period > 0.0
+    phase = jnp.mod(t - delay, jnp.maximum(period, 1e-9)) / jnp.maximum(
+        period, 1e-9
+    )
+    tri = jnp.where(
+        phase < 0.25,
+        4.0 * phase,
+        jnp.where(phase < 0.75, 4.0 * (0.5 - phase), 4.0 * (phase - 1.0)),
+    )
+    return jnp.where(active & (t >= delay), tri, 0.0)
+
+
+class Synthesizer:
+    """SoundFont synthesizer with the reference's public API."""
+
+    _CHANNEL_COUNT = 16
+    _PERCUSSION_CHANNEL = 9
+
+    def __init__(self, sound_font, settings: SynthesizerSettings | None = None):
+        if isinstance(sound_font, str):
+            sound_font = SoundFont.from_file(sound_font)
+        if settings is None:
+            settings = SynthesizerSettings()
+        self._sound_font = sound_font
+        self._settings = settings
+        self._sample_rate = settings.sample_rate
+        self._block_size = settings.block_size
+        self._maximum_polyphony = settings.maximum_polyphony
+        self._minimum_voice_duration = self._sample_rate // 500
+        self.master_volume = 0.5
+
+        self._preset_lookup = {}
+        min_id = None
+        self._default_preset = None
+        for preset in sound_font.presets:
+            pid = (preset.bank_number << 16) | preset.patch_number
+            self._preset_lookup[pid] = preset
+            if min_id is None or pid < min_id:
+                min_id = pid
+                self._default_preset = preset
+
+        self._wave = jnp.asarray(sound_font.wave_data, jnp.float32)
+        self._channels = [
+            Channel(i == self._PERCUSSION_CHANNEL)
+            for i in range(self._CHANNEL_COUNT)
+        ]
+
+        P = self._maximum_polyphony
+        self._par = {name: np.zeros(P, dtype=dt) for name, dt in _PAR_FIELDS}
+        self._par["release_req"][:] = _NO_RELEASE
+        self._par["vib_period"][:] = 0.0
+        self._par["srate_ratio"][:] = 1.0
+        # host mirrors for allocation
+        self._host_voice_blocks = np.zeros(P, dtype=np.int64)  # blocks since start
+        self._host_active = np.zeros(P, dtype=bool)
+        self._slot_exclusive_class = np.zeros(P, dtype=np.int32)
+
+        self._dyn = None  # device state; created lazily
+        self._block_cache = np.zeros((self._block_size, 2), np.float32)
+        self._block_read = self._block_size
+
+        self._step = jax.jit(self._block_kernel)
+
+    # ---- public properties ----------------------------------------------
+
+    @property
+    def sound_font(self):
+        return self._sound_font
+
+    @property
+    def sample_rate(self) -> int:
+        return self._sample_rate
+
+    @property
+    def block_size(self) -> int:
+        return self._block_size
+
+    @property
+    def maximum_polyphony(self) -> int:
+        return self._maximum_polyphony
+
+    @property
+    def channel_count(self) -> int:
+        return self._CHANNEL_COUNT
+
+    @property
+    def percussion_channel(self) -> int:
+        return self._PERCUSSION_CHANNEL
+
+    @property
+    def active_voice_count(self) -> int:
+        self._sync_active()
+        return int(self._host_active.sum())
+
+    # ---- MIDI dispatch ---------------------------------------------------
+
+    def process_midi_message(self, channel, command, data1, data2=0):
+        if not (0 <= channel < self._CHANNEL_COUNT):
+            return
+        ch = self._channels[channel]
+        if command == 0x80:
+            self.note_off(channel, data1)
+        elif command == 0x90:
+            self.note_on(channel, data1, data2)
+        elif command == 0xB0:
+            handlers = {
+                0x00: ch.__class__.bank_number.__set__
+                if isinstance(ch.__class__.bank_number, property)
+                else None,
+            }
+            if data1 == 0x00:
+                ch.bank_number = data2
+            elif data1 == 0x01:
+                ch.set_modulation_coarse(data2)
+            elif data1 == 0x21:
+                ch.set_modulation_fine(data2)
+            elif data1 == 0x06:
+                ch.data_entry_coarse(data2)
+            elif data1 == 0x26:
+                ch.data_entry_fine(data2)
+            elif data1 == 0x07:
+                ch.set_volume_coarse(data2)
+            elif data1 == 0x27:
+                ch.set_volume_fine(data2)
+            elif data1 == 0x0A:
+                ch.set_pan_coarse(data2)
+            elif data1 == 0x2A:
+                ch.set_pan_fine(data2)
+            elif data1 == 0x0B:
+                ch.set_expression_coarse(data2)
+            elif data1 == 0x2B:
+                ch.set_expression_fine(data2)
+            elif data1 == 0x40:
+                ch.set_hold_pedal(data2)
+            elif data1 == 0x5B:
+                ch.set_reverb_send(data2)
+            elif data1 == 0x5D:
+                ch.set_chorus_send(data2)
+            elif data1 == 0x65:
+                ch.set_rpn_coarse(data2)
+            elif data1 == 0x64:
+                ch.set_rpn_fine(data2)
+            elif data1 == 0x78:
+                self.note_off_all_channel(channel, True)
+            elif data1 == 0x79:
+                ch.reset_all_controllers()
+            elif data1 == 0x7B:
+                self.note_off_all_channel(channel, False)
+        elif command == 0xC0:
+            ch.patch_number = data1
+        elif command == 0xE0:
+            ch.set_pitch_bend(data1, data2)
+
+    # ---- note handling ---------------------------------------------------
+
+    def note_off(self, channel, key):
+        mask = (
+            self._host_active
+            & (self._par["channel"] == channel)
+            & (self._par["key"] == key)
+            & (self._par["release_req"] == _NO_RELEASE)
+        )
+        vt = self._host_voice_blocks * self._block_size
+        self._par["release_req"][mask] = np.maximum(
+            vt[mask], self._minimum_voice_duration
+        )
+
+    def note_on(self, channel, key, velocity):
+        if velocity == 0:
+            self.note_off(channel, key)
+            return
+        if not (0 <= channel < self._CHANNEL_COUNT):
+            return
+        ch = self._channels[channel]
+        pid = (ch.bank_number << 16) | ch.patch_number
+        preset = self._preset_lookup.get(pid)
+        if preset is None:
+            gm_pid = ch.patch_number if ch.bank_number < 128 else (128 << 16)
+            preset = self._preset_lookup.get(gm_pid, self._default_preset)
+        if preset is None:
+            return
+        for preset_region in preset.regions:
+            if preset_region.contains(key, velocity):
+                for inst_region in preset_region.instrument.regions:
+                    if inst_region.contains(key, velocity):
+                        pair = RegionPair(preset_region, inst_region)
+                        params = resolve_voice_params(
+                            pair, channel, key, velocity, self._sample_rate
+                        )
+                        slot = self._allocate_slot(params)
+                        self._write_slot(slot, params)
+
+    def note_off_all(self, immediate: bool):
+        if immediate:
+            self._kill_all()
+        else:
+            mask = self._host_active & (self._par["release_req"] == _NO_RELEASE)
+            vt = self._host_voice_blocks * self._block_size
+            self._par["release_req"][mask] = np.maximum(
+                vt[mask], self._minimum_voice_duration
+            )
+
+    def note_off_all_channel(self, channel, immediate: bool):
+        chmask = self._host_active & (self._par["channel"] == channel)
+        if immediate:
+            self._par["note_gain"][chmask] = 0.0
+            self._host_active[chmask] = False
+        else:
+            mask = chmask & (self._par["release_req"] == _NO_RELEASE)
+            vt = self._host_voice_blocks * self._block_size
+            self._par["release_req"][mask] = np.maximum(
+                vt[mask], self._minimum_voice_duration
+            )
+
+    def reset_all_controllers(self):
+        for ch in self._channels:
+            ch.reset_all_controllers()
+
+    def reset(self):
+        self._kill_all()
+        for ch in self._channels:
+            ch.reset()
+        self._dyn = None
+        self._block_read = self._block_size
+
+    def _kill_all(self):
+        self._host_active[:] = False
+        self._par["note_gain"][:] = 0.0
+        self._par["release_req"][:] = _NO_RELEASE
+
+    # ---- voice allocation (host) ----------------------------------------
+
+    def _host_priorities(self) -> np.ndarray:
+        """Reference VolumeEnvelope.priority, computed in closed form."""
+        p = self._par
+        t = (self._host_voice_blocks * self._block_size) / self._sample_rate
+        released = p["release_req"] != _NO_RELEASE
+        rel_t = np.where(
+            released, p["release_req"] / self._sample_rate, np.inf
+        )
+        # stage at time t (pre-release)
+        value = np.where(
+            t < p["v_att_start"],
+            0.0,
+            np.where(
+                t < p["v_hold_start"],
+                p["v_att_slope"] * (t - p["v_att_start"]),
+                np.where(
+                    t < p["v_dec_start"],
+                    1.0,
+                    np.maximum(
+                        np.where(
+                            p["v_dec_slope"] * (t - p["v_dec_start"])
+                            < LOG_NON_AUDIBLE,
+                            0.0,
+                            np.exp(p["v_dec_slope"] * (t - p["v_dec_start"])),
+                        ),
+                        p["v_sustain"],
+                    ),
+                ),
+            ),
+        )
+        stage_bonus = np.where(
+            released & (t >= rel_t),
+            0.0,
+            np.where(
+                t < p["v_att_start"],
+                4.0,
+                np.where(
+                    t < p["v_hold_start"],
+                    3.0,
+                    np.where(t < p["v_dec_start"], 2.0, 1.0),
+                ),
+            ),
+        )
+        pri = stage_bonus + value
+        pri = np.where(p["note_gain"] < NON_AUDIBLE, 0.0, pri)
+        pri = np.where(~self._host_active, -1.0, pri)  # free slots first
+        return pri
+
+    def _allocate_slot(self, params: VoiceParams) -> int:
+        self._sync_active()
+        # exclusive class: retrigger the same voice
+        if params.exclusive_class != 0:
+            same = (
+                self._host_active
+                & (self._par["channel"] == params.channel)
+                & (self._par["epoch"] >= 0)
+            )
+            for i in np.nonzero(same)[0]:
+                if self._slot_exclusive_class[i] == params.exclusive_class:
+                    return int(i)
+        free = np.nonzero(~self._host_active)[0]
+        if free.size:
+            return int(free[0])
+        pri = self._host_priorities()
+        lowest = pri.min()
+        cands = np.nonzero(pri == lowest)[0]
+        if cands.size > 1:
+            ages = self._host_voice_blocks[cands]
+            return int(cands[np.argmax(ages)])
+        return int(cands[0])
+
+    def _write_slot(self, slot: int, vp: VoiceParams) -> None:
+        p = self._par
+        p["epoch"][slot] += 1
+        p["channel"][slot] = vp.channel
+        p["key"][slot] = vp.key
+        p["note_gain"][slot] = vp.note_gain
+        p["cutoff"][slot] = vp.cutoff
+        p["resonance"][slot] = vp.resonance
+        p["vib2pitch"][slot] = vp.vib_lfo_to_pitch
+        p["mod2pitch"][slot] = vp.mod_lfo_to_pitch
+        p["modenv2pitch"][slot] = vp.mod_env_to_pitch
+        p["modlfo2cut"][slot] = vp.mod_lfo_to_cutoff
+        p["modenv2cut"][slot] = vp.mod_env_to_cutoff
+        p["modlfo2vol"][slot] = vp.mod_lfo_to_volume
+        p["inst_pan"][slot] = vp.instrument_pan
+        ve = vp.vol_env
+        p["v_att_start"][slot] = ve.attack_start
+        p["v_hold_start"][slot] = ve.hold_start
+        p["v_dec_start"][slot] = ve.decay_start
+        p["v_att_slope"][slot] = ve.attack_slope
+        p["v_dec_slope"][slot] = ve.decay_slope
+        p["v_rel_slope"][slot] = ve.release_slope
+        p["v_sustain"][slot] = ve.sustain
+        me = vp.mod_env
+        p["m_att_start"][slot] = me.attack_start
+        p["m_hold_start"][slot] = me.hold_start
+        p["m_dec_start"][slot] = me.decay_start
+        p["m_att_slope"][slot] = me.attack_slope
+        p["m_dec_slope"][slot] = me.decay_slope
+        p["m_dec_end"][slot] = me.decay_end
+        p["m_rel_dur"][slot] = me.release_end
+        p["m_sustain"][slot] = me.sustain
+        p["vib_delay"][slot] = vp.vib_lfo_delay
+        p["vib_period"][slot] = vp.vib_lfo_period
+        p["mod_delay"][slot] = vp.mod_lfo_delay
+        p["mod_period"][slot] = vp.mod_lfo_period
+        p["smp_start"][slot] = vp.sample_start
+        p["smp_end"][slot] = vp.sample_end
+        p["loop_start"][slot] = vp.start_loop
+        p["loop_end"][slot] = vp.end_loop
+        p["loop_mode"][slot] = vp.loop_mode
+        p["root_key"][slot] = vp.root_key
+        p["tune"][slot] = vp.tune
+        p["pitch_scale"][slot] = vp.pitch_change_scale
+        p["srate_ratio"][slot] = vp.sample_rate_ratio
+        p["release_req"][slot] = _NO_RELEASE
+        self._host_active[slot] = vp.note_gain >= NON_AUDIBLE
+        self._host_voice_blocks[slot] = 0
+        self._slot_exclusive_class[slot] = vp.exclusive_class
+
+    _slot_exclusive_class: np.ndarray
+
+    def _sync_active(self):
+        """Pull the device's liveness verdict back to the host mirror."""
+        if self._dyn is not None:
+            self._host_active &= np.asarray(self._dyn["active"])
+
+    # ---- device kernel ---------------------------------------------------
+
+    def _init_dyn(self):
+        P = self._maximum_polyphony
+        return {
+            "epoch": jnp.full((P,), -1, jnp.int32),
+            "active": jnp.zeros((P,), bool),
+            "voice_time": jnp.zeros((P,), jnp.int64),
+            "released": jnp.zeros((P,), bool),
+            "rel_t": jnp.zeros((P,), jnp.float32),
+            "rel_vol": jnp.zeros((P,), jnp.float32),
+            "rel_mod": jnp.zeros((P,), jnp.float32),
+            "osc_pos": jnp.zeros((P,), jnp.float64),
+            "fx1": jnp.zeros((P,), jnp.float32),
+            "fx2": jnp.zeros((P,), jnp.float32),
+            "fy1": jnp.zeros((P,), jnp.float32),
+            "fy2": jnp.zeros((P,), jnp.float32),
+            "sm_cutoff": jnp.zeros((P,), jnp.float32),
+            "prev_gl": jnp.zeros((P,), jnp.float32),
+            "prev_gr": jnp.zeros((P,), jnp.float32),
+        }
+
+    def _block_kernel(self, dyn, par, ch, master):
+        """Render one block for all voices; returns (dyn', (N,2) audio)."""
+        N = self._block_size
+        sr = float(self._sample_rate)
+        P = self._maximum_polyphony
+        wave = self._wave
+        min_dur = self._minimum_voice_duration
+
+        fresh = par["epoch"] != dyn["epoch"]
+        voice_time = jnp.where(fresh, 0, dyn["voice_time"])
+        released = jnp.where(fresh, False, dyn["released"])
+        rel_t = jnp.where(fresh, 0.0, dyn["rel_t"])
+        rel_vol = jnp.where(fresh, 0.0, dyn["rel_vol"])
+        rel_mod = jnp.where(fresh, 0.0, dyn["rel_mod"])
+        osc_pos = jnp.where(fresh, par["smp_start"], dyn["osc_pos"])
+        fx1 = jnp.where(fresh, 0.0, dyn["fx1"])
+        fx2 = jnp.where(fresh, 0.0, dyn["fx2"])
+        fy1 = jnp.where(fresh, 0.0, dyn["fy1"])
+        fy2 = jnp.where(fresh, 0.0, dyn["fy2"])
+        sm_cutoff = jnp.where(fresh, par["cutoff"], dyn["sm_cutoff"])
+        prev_gl = jnp.where(fresh, 0.0, dyn["prev_gl"])
+        prev_gr = jnp.where(fresh, 0.0, dyn["prev_gr"])
+        active = jnp.where(fresh, par["note_gain"] >= NON_AUDIBLE, dyn["active"])
+
+        chan = par["channel"]
+        ch_hold = ch["ch_hold"][chan]
+
+        # Release transition at block start (reference voice.py:217-227).
+        t_now = voice_time.astype(jnp.float32) / sr
+        want = (
+            active
+            & ~released
+            & (par["release_req"] <= voice_time)
+            & (voice_time >= min_dur)
+            & ~ch_hold
+        )
+        rel_t = jnp.where(want, t_now, rel_t)
+        rel_vol = jnp.where(
+            want, _vol_env_value(t_now, par, False, rel_t, rel_vol), rel_vol
+        )
+        rel_mod = jnp.where(
+            want, _mod_env_value(t_now, par, False, rel_t, rel_mod), rel_mod
+        )
+        released = released | want
+
+        # Per-block control values at end-of-block time (reference
+        # convention: envelopes/LFOs advance block_size then evaluate).
+        t_end = (voice_time + N).astype(jnp.float32) / sr
+        vol_env = _vol_env_value(t_end, par, released, rel_t, rel_vol)
+        mod_env = _mod_env_value(t_end, par, released, rel_t, rel_mod)
+        vib = _lfo_value(t_end, par["vib_delay"], par["vib_period"])
+        mlf = _lfo_value(t_end, par["mod_delay"], par["mod_period"])
+
+        dead_vol = (vol_env <= NON_AUDIBLE) & (
+            released | (t_end >= par["v_dec_start"])
+        )
+
+        # Pitch (reference voice.py:134-147).
+        ch_mod = ch["ch_mod"][chan]
+        pitch = (
+            par["key"]
+            + (0.01 * ch_mod + par["vib2pitch"]) * vib
+            + par["mod2pitch"] * mlf
+            + par["modenv2pitch"] * mod_env
+            + ch["ch_pitch"][chan]
+        )
+        pitch_change = par["pitch_scale"] * (pitch - par["root_key"]) + par["tune"]
+        ratio = par["srate_ratio"] * 2.0 ** (
+            pitch_change.astype(jnp.float64) / 12.0
+        )
+
+        # Oscillator: (P, N) fused gather + lerp. TPU note: float64 is
+        # software-emulated, so only the (P,) carried position stays f64;
+        # the (P, N) grid splits into i32 base + f32 offset — exact to
+        # well under the parity budget (offset < N·ratio ≈ 2^11, f32 ulp
+        # there ≈ 1e-4 sample).
+        looping = (par["loop_mode"] == int(LoopMode.CONTINUOUS)) | (
+            (par["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)) & ~released
+        )
+        loop_start_i = par["loop_start"].astype(jnp.int64)
+        loop_len_i = jnp.maximum(
+            par["loop_end"].astype(jnp.int64) - loop_start_i, 1
+        )
+        # Pre-wrap the carried f64 position once per block (cheap: (P,)).
+        pos_wrapped = jnp.where(
+            looping,
+            jnp.mod(osc_pos - par["loop_start"], loop_len_i.astype(jnp.float64))
+            + par["loop_start"],
+            osc_pos,
+        )
+        base_int = jnp.floor(pos_wrapped).astype(jnp.int64)
+        base_frac = (pos_wrapped - base_int).astype(jnp.float32)
+        ratio32 = ratio.astype(jnp.float32)
+        steps = jnp.arange(N, dtype=jnp.float32)
+        offset = base_frac[:, None] + steps[None, :] * ratio32[:, None]  # (P,N) f32
+        off_int = jnp.floor(offset)
+        frac = offset - off_int
+        abs_idx = base_int[:, None] + off_int.astype(jnp.int64)  # (P, N)
+        # Loop wrap in integer math.
+        wrapped_idx = (
+            jnp.mod(abs_idx - loop_start_i[:, None], loop_len_i[:, None])
+            + loop_start_i[:, None]
+        )
+        idx_eff = jnp.where(looping[:, None], wrapped_idx, abs_idx)
+        W = wave.shape[0]
+        i0 = jnp.clip(idx_eff, 0, W - 2).astype(jnp.int32)
+        i1 = i0 + 1
+        # loop upper neighbor wraps to loop start
+        i1 = jnp.where(
+            looping[:, None] & (i1 >= par["loop_end"][:, None].astype(jnp.int32)),
+            loop_start_i[:, None].astype(jnp.int32),
+            i1,
+        )
+        smp = (1.0 - frac) * wave[i0] + frac * wave[i1]
+        valid = looping[:, None] | (
+            abs_idx < par["smp_end"].astype(jnp.int64)[:, None]
+        )
+        blk = jnp.where(valid, smp, 0.0)  # (P, N)
+        dead_osc = ~looping & (osc_pos >= par["smp_end"])
+
+        new_pos = pos_wrapped + N * ratio  # f64, (P,)
+        loop_len_f = loop_len_i.astype(jnp.float64)
+        new_pos = jnp.where(
+            looping & (new_pos >= par["loop_end"]),
+            jnp.mod(new_pos - par["loop_start"], loop_len_f) + par["loop_start"],
+            new_pos,
+        )
+
+        # Filter (reference BiQuadFilter: per-block lowpass coefficients).
+        res = par["resonance"]
+        cents = par["modlfo2cut"] * mlf + par["modenv2cut"] * mod_env
+        dynamic = (par["modlfo2cut"] != 0.0) | (par["modenv2cut"] != 0.0)
+        new_cut = 2.0 ** (cents / 1200.0) * par["cutoff"]
+        sm_cutoff = jnp.where(
+            dynamic,
+            jnp.clip(new_cut, 0.5 * sm_cutoff, 2.0 * sm_cutoff),
+            sm_cutoff,
+        )
+        cutoff = jnp.where(dynamic, sm_cutoff, par["cutoff"])
+        flt_on = cutoff < 0.499 * sr
+        q = res - (1.0 - 1.0 / math.sqrt(2.0)) / (1.0 + 6.0 * (res - 1.0))
+        w = 2.0 * jnp.pi * cutoff / sr
+        cosw = jnp.cos(w)
+        alpha = jnp.sin(w) / (2.0 * jnp.maximum(q, 1e-6))
+        a0 = 1.0 + alpha
+        b0 = ((1.0 - cosw) / 2.0) / a0
+        b1 = (1.0 - cosw) / a0
+        b2 = b0
+        a1 = (-2.0 * cosw) / a0
+        a2 = (1.0 - alpha) / a0
+
+        # DF1 over the block: FIR half vectorized, order-2 feedback via
+        # associative scan, batched over voices.
+        xpad = jnp.concatenate(
+            [fx2[:, None], fx1[:, None], blk], axis=1
+        )  # (P, N+2)
+        fir = (
+            b0[:, None] * xpad[:, 2:]
+            + b1[:, None] * xpad[:, 1:-1]
+            + b2[:, None] * xpad[:, :-2]
+        )  # (P, N)
+        from pygmu2_tpu.ops.linrec import affine_scan_nd
+
+        A = jnp.zeros((P, 2, 2), jnp.float32)
+        A = A.at[:, 0, 0].set(-a1).at[:, 0, 1].set(-a2).at[:, 1, 0].set(1.0)
+        Ab = jnp.broadcast_to(A[None], (N, P, 2, 2))
+        u = jnp.stack([fir.T, jnp.zeros_like(fir.T)], axis=-1)  # (N, P, 2)
+        s0 = jnp.stack([fy1, fy2], axis=-1)
+        s = affine_scan_nd(Ab, u, s0)  # (N, P, 2)
+        filtered = s[..., 0].T  # (P, N)
+
+        out_blk = jnp.where(flt_on[:, None], filtered, blk)
+        nfx1 = jnp.where(flt_on, blk[:, -1], blk[:, -1])
+        nfx2 = jnp.where(flt_on, blk[:, -2], blk[:, -2])
+        nfy1 = jnp.where(flt_on, filtered[:, -1], blk[:, -1])
+        nfy2 = jnp.where(flt_on, filtered[:, -2], blk[:, -2])
+
+        # Mix gains (reference voice.py:160-205).
+        ve = ch["ch_vol_exp"][chan]
+        mix_gain = par["note_gain"] * ve * ve * vol_env
+        dyn_vol = par["modlfo2vol"] > 0.05
+        mix_gain = mix_gain * jnp.where(
+            dyn_vol, 10.0 ** (0.05 * par["modlfo2vol"] * mlf), 1.0
+        )
+        angle = (jnp.pi / 200.0) * (ch["ch_pan"][chan] + par["inst_pan"] + 50.0)
+        gl = jnp.where(
+            angle <= 0.0,
+            mix_gain,
+            jnp.where(angle >= HALF_PI, 0.0, mix_gain * jnp.cos(angle)),
+        )
+        gr = jnp.where(
+            angle <= 0.0,
+            0.0,
+            jnp.where(angle >= HALF_PI, mix_gain, mix_gain * jnp.sin(angle)),
+        )
+        first_block = voice_time == 0
+        prev_gl = jnp.where(first_block, gl, prev_gl)
+        prev_gr = jnp.where(first_block, gr, prev_gr)
+
+        # Linear gain ramp within the block (reference _write_block: the
+        # ramp/constant choice and the audibility skip are made on
+        # master-scaled gains).
+        alive = active & ~dead_vol & ~dead_osc
+        gl_m = master * jnp.where(alive, gl, 0.0)
+        gr_m = master * jnp.where(alive, gr, 0.0)
+        pl_m = master * jnp.where(alive, prev_gl, 0.0)
+        pr_m = master * jnp.where(alive, prev_gr, 0.0)
+        ramp = jnp.arange(N, dtype=jnp.float32) / N
+
+        def ramped(prev, cur):
+            audible = jnp.maximum(prev, cur) >= NON_AUDIBLE
+            const = jnp.abs(cur - prev) < 1.0e-3
+            g = jnp.where(
+                const[:, None],
+                cur[:, None],
+                prev[:, None] + (cur - prev)[:, None] * ramp[None, :],
+            )
+            return jnp.where(audible[:, None], g, 0.0)
+
+        L = jnp.einsum("pn,pn->n", ramped(pl_m, gl_m), out_blk)
+        R = jnp.einsum("pn,pn->n", ramped(pr_m, gr_m), out_blk)
+        audio = jnp.stack([L, R], axis=1)
+
+        new_dyn = {
+            "epoch": par["epoch"],
+            "active": alive,
+            "voice_time": voice_time + N,
+            "released": released,
+            "rel_t": rel_t,
+            "rel_vol": rel_vol,
+            "rel_mod": rel_mod,
+            "osc_pos": new_pos,
+            "fx1": nfx1,
+            "fx2": nfx2,
+            "fy1": nfy1,
+            "fy2": nfy2,
+            "sm_cutoff": sm_cutoff,
+            "prev_gl": gl,
+            "prev_gr": gr,
+        }
+        return new_dyn, audio.astype(jnp.float32)
+
+    # ---- channel snapshot ------------------------------------------------
+
+    def _channel_arrays(self) -> dict:
+        chs = self._channels
+        return {
+            "ch_mod": np.array([c.modulation for c in chs], np.float32),
+            "ch_vol_exp": np.array(
+                [c.volume * c.expression for c in chs], np.float32
+            ),
+            "ch_pan": np.array([c.pan for c in chs], np.float32),
+            "ch_pitch": np.array(
+                [c.tune + c.pitch_bend for c in chs], np.float32
+            ),
+            "ch_hold": np.array([c.hold_pedal for c in chs], np.bool_),
+        }
+
+    # ---- streaming render (reference API) --------------------------------
+
+    def _render_block(self) -> np.ndarray:
+        if self._dyn is None:
+            self._dyn = self._init_dyn()
+        self._dyn, audio = self._step(
+            self._dyn, dict(self._par), self._channel_arrays(),
+            np.float32(self.master_volume),
+        )
+        self._host_voice_blocks[self._host_active] += 1
+        return np.asarray(audio)
+
+    def render(self, left, right, offset: int | None = None, count: int | None = None):
+        """Fill ``left``/``right`` with the next ``count`` samples."""
+        if len(left) != len(right):
+            raise MeltysynthError(
+                "The output buffers for the left and right must be the same length."
+            )
+        if offset is None:
+            offset = 0
+        if count is None:
+            count = len(left) - offset
+        wrote = 0
+        while wrote < count:
+            if self._block_read == self._block_size:
+                self._block_cache = self._render_block()
+                self._block_read = 0
+            rem = min(self._block_size - self._block_read, count - wrote)
+            seg = self._block_cache[self._block_read : self._block_read + rem]
+            left[offset + wrote : offset + wrote + rem] = seg[:, 0]
+            right[offset + wrote : offset + wrote + rem] = seg[:, 1]
+            self._block_read += rem
+            wrote += rem
+
+    def render_stereo(self, count: int) -> np.ndarray:
+        """Convenience: render ``count`` samples → (count, 2) float32."""
+        left = np.zeros(count, np.float32)
+        right = np.zeros(count, np.float32)
+        self.render(left, right)
+        return np.stack([left, right], axis=1)
+
+    # ---- offline scan path ----------------------------------------------
+
+    def _get_schedule_runner(self, n_blocks: int):
+        """Cached jitted scan over blocks (retraces only per n_blocks /
+        snapshot-stack structure, not per call)."""
+        cache = self.__dict__.setdefault("_schedule_runners", {})
+        if n_blocks not in cache:
+            N = self._block_size
+
+            def run(par_stack, ch_stack, snap_idx, master):
+                def step(dyn, idx):
+                    par_b = {k: v[idx] for k, v in par_stack.items()}
+                    ch_b = {k: v[idx] for k, v in ch_stack.items()}
+                    return self._block_kernel(dyn, par_b, ch_b, master)
+
+                dyn0 = self._init_dyn()
+                _, blocks = jax.lax.scan(step, dyn0, snap_idx)
+                return blocks.reshape(n_blocks * N, 2)
+
+            cache[n_blocks] = jax.jit(run)
+        return cache[n_blocks]
+
+    def render_midi_schedule(self, midi_file: MidiFile, seconds: float) -> np.ndarray:
+        """Render a MIDI file offline in ONE scanned device launch.
+
+        Host pass: simulate the event timeline at block granularity,
+        snapshotting the (params, channels) arrays whenever they change.
+        Device pass: ``lax.scan`` over blocks, gathering each block's
+        snapshot — the whole piece is a single XLA program.
+        """
+        N = self._block_size
+        n_blocks = int(math.ceil(seconds * self._sample_rate / N))
+        self.reset()
+
+        snaps_par: list[dict] = []
+        snaps_ch: list[dict] = []
+        snap_idx = np.zeros(n_blocks, np.int32)
+
+        msg_i = 0
+        messages, times = midi_file.messages, midi_file.times
+        dirty = True
+        for b in range(n_blocks):
+            t_block = b * N / self._sample_rate
+            while msg_i < len(messages) and times[msg_i] <= t_block:
+                m = messages[msg_i]
+                if m.type == MidiMessageType.NORMAL:
+                    self.process_midi_message(m.channel, m.command, m.data1, m.data2)
+                    dirty = True
+                msg_i += 1
+            if dirty or not snaps_par:
+                snaps_par.append({k: v.copy() for k, v in self._par.items()})
+                snaps_ch.append(self._channel_arrays())
+                dirty = False
+            snap_idx[b] = len(snaps_par) - 1
+            self._host_voice_blocks[self._host_active] += 1
+
+        par_stack = {
+            k: jnp.asarray(np.stack([s[k] for s in snaps_par]))
+            for k in self._par
+        }
+        ch_stack = {
+            k: jnp.asarray(np.stack([s[k] for s in snaps_ch]))
+            for k in snaps_ch[0]
+        }
+        master = np.float32(self.master_volume)
+
+        run = self._get_schedule_runner(n_blocks)
+        out = run(par_stack, ch_stack, jnp.asarray(snap_idx), master)
+        total = int(round(seconds * self._sample_rate))
+        result = np.asarray(out)[:total]
+        self.reset()
+        return result
