@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Per-PE throughput benchmark suite.
+
+TPU-native rebuild of the reference harness (reference:
+benchmarks/benchmark_pes.py:37-200): auto-discovers PE configurations,
+renders one second of audio per run, and reports mean/std/min/max wall
+time, samples/s, and the realtime ratio vs 44.1 kHz.
+
+TPU adaptation: each config is measured through ``engine.render_scan``
+(one compiled launch), with a warm-up run excluded so compile time
+doesn't pollute the statistics. Run with ``--cpu`` to force the CPU
+backend.
+
+Usage:
+    python benchmarks/benchmark_pes.py [--seconds 1.0] [--runs 5] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def build_configs(pg):
+    """Representative configuration per PE family (name → builder)."""
+    import numpy as np
+
+    sr = 44100
+    wav = np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
+
+    def arr():
+        return pg.ArrayPE(wav)
+
+    ir = (np.random.default_rng(0).uniform(-1, 1, 2048) * np.exp(-np.arange(2048) / 400)).astype(np.float32)
+
+    return {
+        "SinePE": lambda: pg.SinePE(frequency=440.0),
+        "SinePE_fm": lambda: pg.SinePE(frequency=pg.MixPE(pg.ConstantPE(440.0), pg.SinePE(frequency=5.0, amplitude=30.0))),
+        "NoisePE_white": lambda: pg.NoisePE(seed=1),
+        "NoisePE_pink": lambda: pg.NoisePE(seed=1, mode=pg.NoiseMode.PINK),
+        "BlitSawPE": lambda: pg.BlitSawPE(frequency=220.0),
+        "SuperSawPE_7": lambda: pg.SuperSawPE(110.0, voices=7, seed=1),
+        "AnalogOscPE": lambda: pg.AnalogOscPE(frequency=220.0),
+        "FunctionGenPE": lambda: pg.FunctionGenPE(frequency=220.0),
+        "KarplusStrongPE": lambda: pg.KarplusStrongPE(220.0, seed=1),
+        "GainPE": lambda: pg.GainPE(arr(), 0.5),
+        "MixPE_8": lambda: pg.MixPE(*[pg.SinePE(frequency=100.0 * (i + 1), amplitude=0.1) for i in range(8)]),
+        "DelayPE_int": lambda: pg.DelayPE(arr(), 1000),
+        "DelayPE_mod": lambda: pg.DelayPE(arr(), pg.MixPE(pg.ConstantPE(100.0), pg.SinePE(frequency=1.0, amplitude=50.0)), max_delay=256),
+        "BiquadPE": lambda: pg.BiquadPE(arr(), 1000.0, 2.0),
+        "BiquadPE_swept": lambda: pg.BiquadPE(arr(), pg.PiecewisePE([(0, 200.0), (sr, 8000.0)]), 2.0),
+        "SVFilterPE": lambda: pg.SVFilterPE(arr(), 1000.0, 2.0),
+        "LadderPE": lambda: pg.LadderPE(arr(), 2000.0, resonance=0.5),
+        "CombPE": lambda: pg.CombPE(arr(), frequency=220.0, feedback=0.8),
+        "EnvelopePE": lambda: pg.EnvelopePE(arr(), attack=0.01, release=0.1),
+        "CompressorPE": lambda: pg.CompressorPE(arr(), threshold=-20.0, ratio=4.0),
+        "ConvolvePE_2k": lambda: pg.ConvolvePE(arr(), pg.ArrayPE(ir)),
+        "ReverbPE": lambda: pg.ReverbPE(arr(), pg.ArrayPE(ir), mix=0.3),
+        "SpatialHRTF": lambda: pg.SpatialPE(arr(), method=pg.SpatialHRTF(azimuth=45.0)),
+        "WindowPE_rms": lambda: pg.WindowPE(arr(), window=0.01, mode=pg.WindowMode.RMS),
+        "TimeWarpPE": lambda: pg.TimeWarpPE(arr(), rate=1.5),
+        "ReversePitchEchoPE": lambda: pg.ReversePitchEchoPE(arr(), block_seconds=0.05, feedback=0.5, max_delay_seconds=0.1),
+        "AdsrGatedPE": lambda: pg.AdsrGatedPE(pg.PeriodicGate(frequency=2.0), 0.01, 0.05, 0.6, 0.1),
+        "PiecewisePE": lambda: pg.PiecewisePE([(i * 100, float(i % 7)) for i in range(100)]),
+        "WavetablePE": lambda: pg.WavetablePE(pg.ArrayPE(wav[:1024]), pg.TransformPE(pg.IdentityPE(), lambda x: x * 3.7), out_of_bounds=pg.OutOfBoundsMode.WRAP),
+        "TralfamPE": lambda: pg.TralfamPE(arr(), seed=1),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seconds", type=float, default=1.0)
+    parser.add_argument("--runs", type=int, default=5)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--only", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import pygmu2_tpu as pg
+    from pygmu2_tpu.core import engine
+
+    pg.set_sample_rate(44100)
+    total = int(args.seconds * 44100)
+    configs = build_configs(pg)
+    if args.only:
+        configs = {k: v for k, v in configs.items() if args.only in k}
+
+    print(f"backend={jax.default_backend()}  samples/run={total}  runs={args.runs}")
+    print(f"{'PE':<22} {'mean ms':>9} {'std':>7} {'min':>8} {'max':>8} {'Msmp/s':>9} {'xRT':>9}")
+    print("-" * 78)
+
+    for name, build in configs.items():
+        try:
+            pe = build()
+            out = engine.render_scan(pe, 0, total, 16384)  # warm-up/compile
+            jax.block_until_ready(out)
+            times = []
+            for _ in range(args.runs):
+                pe2 = build()
+                t0 = time.perf_counter()
+                out = engine.render_scan(pe2, 0, total, 16384)
+                jax.block_until_ready(out)
+                times.append((time.perf_counter() - t0) * 1e3)
+            mean = statistics.mean(times)
+            std = statistics.stdev(times) if len(times) > 1 else 0.0
+            msps = total / (mean / 1e3) / 1e6
+            xrt = (total / 44100) / (mean / 1e3)
+            print(
+                f"{name:<22} {mean:>9.2f} {std:>7.2f} {min(times):>8.2f} "
+                f"{max(times):>8.2f} {msps:>9.1f} {xrt:>9.1f}"
+            )
+        except Exception as exc:  # keep the suite running
+            print(f"{name:<22} FAILED: {type(exc).__name__}: {exc}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

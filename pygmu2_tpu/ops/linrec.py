@@ -55,17 +55,51 @@ def affine_scan_nd(A, u, s0):
 
     Returns:
         s: (T, ..., D) states after each step.
+
+    D == 2 (the IIR case) uses fully unrolled elementwise arithmetic —
+    tiny batched matmuls lower poorly on TPU (dot_general with huge batch
+    dims); as plain VPU mul/add the scan both compiles and runs fast.
     """
     if s0 is not None:
-        u = u.at[0].add(jnp.einsum("...ij,...j->...i", A[0], s0))
+        if A.shape[-1] == 2:
+            a = A[0]
+            extra = jnp.stack(
+                [
+                    a[..., 0, 0] * s0[..., 0] + a[..., 0, 1] * s0[..., 1],
+                    a[..., 1, 0] * s0[..., 0] + a[..., 1, 1] * s0[..., 1],
+                ],
+                axis=-1,
+            )
+        else:
+            extra = jnp.einsum("...ij,...j->...i", A[0], s0)
+        u = u.at[0].add(extra)
 
-    def combine(left, right):
-        A1, u1 = left
-        A2, u2 = right
-        return (
-            jnp.einsum("...ij,...jk->...ik", A2, A1),
-            jnp.einsum("...ij,...j->...i", A2, u1) + u2,
-        )
+    if A.shape[-1] == 2:
+
+        def combine(left, right):
+            A1, u1 = left
+            A2, u2 = right
+            a = A2[..., 0, 0] * A1[..., 0, 0] + A2[..., 0, 1] * A1[..., 1, 0]
+            b = A2[..., 0, 0] * A1[..., 0, 1] + A2[..., 0, 1] * A1[..., 1, 1]
+            c = A2[..., 1, 0] * A1[..., 0, 0] + A2[..., 1, 1] * A1[..., 1, 0]
+            d = A2[..., 1, 0] * A1[..., 0, 1] + A2[..., 1, 1] * A1[..., 1, 1]
+            AA = jnp.stack(
+                [jnp.stack([a, b], axis=-1), jnp.stack([c, d], axis=-1)],
+                axis=-2,
+            )
+            v0 = A2[..., 0, 0] * u1[..., 0] + A2[..., 0, 1] * u1[..., 1] + u2[..., 0]
+            v1 = A2[..., 1, 0] * u1[..., 0] + A2[..., 1, 1] * u1[..., 1] + u2[..., 1]
+            return AA, jnp.stack([v0, v1], axis=-1)
+
+    else:
+
+        def combine(left, right):
+            A1, u1 = left
+            A2, u2 = right
+            return (
+                jnp.einsum("...ij,...jk->...ik", A2, A1),
+                jnp.einsum("...ij,...j->...i", A2, u1) + u2,
+            )
 
     _, s = jax.lax.associative_scan(combine, (A, u))
     return s

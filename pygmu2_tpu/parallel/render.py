@@ -1,0 +1,141 @@
+"""Multi-chip rendering: shard audio work over a jax.sharding Mesh.
+
+The reference is single-process/single-machine (SURVEY §2.10); these
+scale-out paths are designed fresh for TPU pods. Two natural axes:
+
+- **Voice parallelism** (the synth): the voice-field kernel is already
+  SoA over a (polyphony,) axis — shard it across devices and psum the
+  stereo mixdown over ICI. ``render_midi_sharded`` runs the whole MIDI
+  timeline as one shard_map'd lax.scan.
+
+- **Time parallelism** (pure graphs): pure PEs are functions of the
+  absolute sample index, so disjoint spans of the timeline render
+  independently — shard block-time across devices with no communication
+  at all (``render_time_sharded``). Stateful graphs need their state
+  chain and are not eligible (the validator's purity flag decides).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pygmu2_tpu.core import engine, prec
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "v") -> Mesh:
+    """A 1-D mesh over the first n available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+# ---- time-parallel pure-graph rendering --------------------------------
+
+
+def render_time_sharded(root, start: int, total: int, mesh: Mesh, block: int = 8192):
+    """Render a PURE graph's ``[start, start+total)`` with the time axis
+    sharded over the mesh — zero collectives, embarrassingly parallel.
+
+    Returns a host float32 array (total, C).
+    """
+    if not root.is_pure():
+        raise ValueError(
+            "render_time_sharded requires a pure graph (stateful graphs "
+            "carry a sequential state chain); use engine.render_scan."
+        )
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    span = -(-total // n_dev)
+    span = -(-span // block) * block  # round to block multiple
+    n_blocks_per_dev = span // block
+
+    prog = engine.get_program(root, block)
+    starts = (
+        start
+        + jnp.arange(n_dev * n_blocks_per_dev, dtype=prec.INDEX) * block
+    )
+
+    from jax.experimental.shard_map import shard_map
+
+    def shard_fn(starts_local):
+        def step(carry, s):
+            out, _state = prog._run_first(s)
+            return carry, out
+
+        _, blocks = jax.lax.scan(step, 0, starts_local)
+        return blocks.reshape(n_blocks_per_dev * block, -1)
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+        )
+    )
+    out = fn(starts)
+    return np.asarray(out)[:total]
+
+
+# ---- voice-parallel SoundFont rendering --------------------------------
+
+
+def render_midi_sharded(synth, midi_file, seconds: float, mesh: Mesh) -> np.ndarray:
+    """Offline MIDI render with the voice axis sharded over the mesh.
+
+    Per-voice parameters/state live on their shard; the only collective
+    is a psum of each block's stereo mixdown over the voice axis (rides
+    ICI). Polyphony must divide by the mesh size.
+
+    Returns a host float32 array (samples, 2).
+    """
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    if synth.maximum_polyphony % n_dev != 0:
+        raise ValueError(
+            f"maximum_polyphony ({synth.maximum_polyphony}) must divide by "
+            f"the mesh size ({n_dev})"
+        )
+
+    par_np, ch_np, snap_idx, n_blocks = synth.build_schedule(midi_file, seconds)
+    N = synth.block_size
+    master = np.float32(synth.master_volume)
+
+    from jax.experimental.shard_map import shard_map
+
+    # Per-voice arrays shard on their last (voice) axis; channel state and
+    # the block→snapshot map replicate.
+    par_specs = {k: P(None, axis) for k in par_np}
+    local_p = synth.maximum_polyphony // n_dev
+
+    def shard_fn(par_stack, ch_stack, idx):
+        def step(dyn, i):
+            par_b = {k: v[i] for k, v in par_stack.items()}
+            ch_b = {k: v[i] for k, v in ch_stack.items()}
+            new_dyn, audio = synth._block_kernel(dyn, par_b, ch_b, master)
+            return new_dyn, jax.lax.psum(audio, axis)
+
+        dyn0 = jax.tree_util.tree_map(
+            lambda x: jax.lax.pvary(x, (axis,)), synth._init_dyn(local_p)
+        )
+        _, blocks = jax.lax.scan(step, dyn0, idx)
+        return blocks.reshape(n_blocks * N, 2)
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(par_specs, {k: P() for k in ch_np}, P()),
+            out_specs=P(),
+        )
+    )
+    par_stack = {k: jnp.asarray(v) for k, v in par_np.items()}
+    ch_stack = {k: jnp.asarray(v) for k, v in ch_np.items()}
+    out = fn(par_stack, ch_stack, jnp.asarray(snap_idx))
+    total = int(round(seconds * synth.sample_rate))
+    synth.reset()
+    return np.asarray(out)[:total]

@@ -45,7 +45,7 @@ from pygmu2_tpu.soundfont.params import (
 )
 
 LOG_NON_AUDIBLE = math.log(NON_AUDIBLE)
-_NO_RELEASE = np.int64(2**62)
+_NO_RELEASE = np.int32(2**31 - 1)
 
 # Parameter fields: (name, dtype). All arrays are (polyphony,).
 _PAR_FIELDS = [
@@ -90,7 +90,7 @@ _PAR_FIELDS = [
     ("tune", np.float32),
     ("pitch_scale", np.float32),
     ("srate_ratio", np.float64),
-    ("release_req", np.int64),
+    ("release_req", np.int32),
 ]
 
 _CH_FIELDS = [
@@ -659,12 +659,12 @@ class Synthesizer:
 
     # ---- device kernel ---------------------------------------------------
 
-    def _init_dyn(self):
-        P = self._maximum_polyphony
+    def _init_dyn(self, polyphony: int | None = None):
+        P = polyphony or self._maximum_polyphony
         return {
             "epoch": jnp.full((P,), -1, jnp.int32),
             "active": jnp.zeros((P,), bool),
-            "voice_time": jnp.zeros((P,), jnp.int64),
+            "voice_time": jnp.zeros((P,), jnp.int32),
             "released": jnp.zeros((P,), bool),
             "rel_t": jnp.zeros((P,), jnp.float32),
             "rel_vol": jnp.zeros((P,), jnp.float32),
@@ -683,7 +683,7 @@ class Synthesizer:
         """Render one block for all voices; returns (dyn', (N,2) audio)."""
         N = self._block_size
         sr = float(self._sample_rate)
-        P = self._maximum_polyphony
+        P = par["epoch"].shape[0]  # local shard size under shard_map
         wave = self._wave
         min_dur = self._minimum_voice_duration
 
@@ -758,9 +758,9 @@ class Synthesizer:
         looping = (par["loop_mode"] == int(LoopMode.CONTINUOUS)) | (
             (par["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)) & ~released
         )
-        loop_start_i = par["loop_start"].astype(jnp.int64)
+        loop_start_i = par["loop_start"].astype(jnp.int32)
         loop_len_i = jnp.maximum(
-            par["loop_end"].astype(jnp.int64) - loop_start_i, 1
+            par["loop_end"].astype(jnp.int32) - loop_start_i, 1
         )
         # Pre-wrap the carried f64 position once per block (cheap: (P,)).
         pos_wrapped = jnp.where(
@@ -769,14 +769,14 @@ class Synthesizer:
             + par["loop_start"],
             osc_pos,
         )
-        base_int = jnp.floor(pos_wrapped).astype(jnp.int64)
+        base_int = jnp.floor(pos_wrapped).astype(jnp.int32)
         base_frac = (pos_wrapped - base_int).astype(jnp.float32)
         ratio32 = ratio.astype(jnp.float32)
         steps = jnp.arange(N, dtype=jnp.float32)
         offset = base_frac[:, None] + steps[None, :] * ratio32[:, None]  # (P,N) f32
         off_int = jnp.floor(offset)
         frac = offset - off_int
-        abs_idx = base_int[:, None] + off_int.astype(jnp.int64)  # (P, N)
+        abs_idx = base_int[:, None] + off_int.astype(jnp.int32)  # (P, N)
         # Loop wrap in integer math.
         wrapped_idx = (
             jnp.mod(abs_idx - loop_start_i[:, None], loop_len_i[:, None])
@@ -784,7 +784,7 @@ class Synthesizer:
         )
         idx_eff = jnp.where(looping[:, None], wrapped_idx, abs_idx)
         W = wave.shape[0]
-        i0 = jnp.clip(idx_eff, 0, W - 2).astype(jnp.int32)
+        i0 = jnp.clip(idx_eff, 0, W - 2)
         i1 = i0 + 1
         # loop upper neighbor wraps to loop start
         i1 = jnp.where(
@@ -794,7 +794,7 @@ class Synthesizer:
         )
         smp = (1.0 - frac) * wave[i0] + frac * wave[i1]
         valid = looping[:, None] | (
-            abs_idx < par["smp_end"].astype(jnp.int64)[:, None]
+            abs_idx < par["smp_end"].astype(jnp.int32)[:, None]
         )
         blk = jnp.where(valid, smp, 0.0)  # (P, N)
         dead_osc = ~looping & (osc_pos >= par["smp_end"])
@@ -1000,13 +1000,12 @@ class Synthesizer:
             cache[n_blocks] = jax.jit(run)
         return cache[n_blocks]
 
-    def render_midi_schedule(self, midi_file: MidiFile, seconds: float) -> np.ndarray:
-        """Render a MIDI file offline in ONE scanned device launch.
-
-        Host pass: simulate the event timeline at block granularity,
+    def build_schedule(self, midi_file: MidiFile, seconds: float):
+        """Host pass: simulate the event timeline at block granularity,
         snapshotting the (params, channels) arrays whenever they change.
-        Device pass: ``lax.scan`` over blocks, gathering each block's
-        snapshot — the whole piece is a single XLA program.
+
+        Returns (par_stack (S,P) fields, ch_stack (S,16) fields,
+        snap_idx (n_blocks,), n_blocks).
         """
         N = self._block_size
         n_blocks = int(math.ceil(seconds * self._sample_rate / N))
@@ -1035,13 +1034,22 @@ class Synthesizer:
             self._host_voice_blocks[self._host_active] += 1
 
         par_stack = {
-            k: jnp.asarray(np.stack([s[k] for s in snaps_par]))
-            for k in self._par
+            k: np.stack([s[k] for s in snaps_par]) for k in self._par
         }
         ch_stack = {
-            k: jnp.asarray(np.stack([s[k] for s in snaps_ch]))
-            for k in snaps_ch[0]
+            k: np.stack([s[k] for s in snaps_ch]) for k in snaps_ch[0]
         }
+        return par_stack, ch_stack, snap_idx, n_blocks
+
+    def render_midi_schedule(self, midi_file: MidiFile, seconds: float) -> np.ndarray:
+        """Render a MIDI file offline in ONE scanned device launch.
+
+        Device pass: ``lax.scan`` over blocks, gathering each block's
+        snapshot — the whole piece is a single XLA program.
+        """
+        par_np, ch_np, snap_idx, n_blocks = self.build_schedule(midi_file, seconds)
+        par_stack = {k: jnp.asarray(v) for k, v in par_np.items()}
+        ch_stack = {k: jnp.asarray(v) for k, v in ch_np.items()}
         master = np.float32(self.master_volume)
 
         run = self._get_schedule_runner(n_blocks)

@@ -87,7 +87,7 @@ class TestBiquadConstant:
         one = BiquadPE(ArrayPE(noise_sig), 800.0, 5.0).render(0, 4096).data
         pe = BiquadPE(ArrayPE(noise_sig), 800.0, 5.0)
         parts = [pe.render(i * 1024, 1024).data for i in range(4)]
-        np.testing.assert_allclose(np.concatenate(parts), one, atol=2e-5)
+        np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-4)
 
     def test_stereo_channels_independent(self):
         sig = np.zeros((64, 2), np.float32)
@@ -160,7 +160,7 @@ class TestSVF:
         one = SVFilterPE(ArrayPE(noise_sig), 500.0, 3.0).render(0, 4096).data
         pe = SVFilterPE(ArrayPE(noise_sig), 500.0, 3.0)
         parts = [pe.render(i * 512, 512).data for i in range(8)]
-        np.testing.assert_allclose(np.concatenate(parts), one, atol=2e-5)
+        np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-4)
 
     def test_lowpass_passes_dc_blocks_hf(self):
         lo = SVFilterPE(ConstantPE(1.0), 2000.0, 0.707).render(0, 2000).data

@@ -1,0 +1,90 @@
+"""Multi-chip sharding on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import pygmu2_tpu as pg
+from pygmu2_tpu.core import engine
+from pygmu2_tpu.parallel.render import (
+    default_mesh,
+    render_midi_sharded,
+    render_time_sharded,
+)
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_mesh
+class TestTimeSharded:
+    def test_matches_single_device(self):
+        graph = pg.GainPE(pg.SinePE(frequency=441.0), 0.5)
+        mesh = default_mesh(8, axis="t")
+        total = 44100
+        sharded = render_time_sharded(graph, 0, total, mesh, block=2048)
+        single = np.asarray(engine.render_scan(graph, 0, total, 2048))
+        np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+    def test_stateful_rejected(self):
+        mesh = default_mesh(8, axis="t")
+        with pytest.raises(ValueError):
+            render_time_sharded(pg.NoisePE(seed=1, mode=pg.NoiseMode.PINK), 0, 100, mesh)
+
+
+@needs_mesh
+class TestVoiceSharded:
+    def test_matches_single_device(self):
+        import struct
+
+        from pygmu2_tpu.soundfont import (
+            MidiFile,
+            SoundFont,
+            Synthesizer,
+            SynthesizerSettings,
+        )
+        from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
+
+        font_bytes = build_sf2(
+            [{"data": make_looped_sample(261.63), "rate": 44100, "root_key": 60, "loop": True}]
+        )
+
+        def varint(v):
+            out = [v & 0x7F]
+            v >>= 7
+            while v:
+                out.append(0x80 | (v & 0x7F))
+                v >>= 7
+            return bytes(reversed(out))
+
+        res = 480
+        tps = res * 120 / 60.0
+        events = [(0.0, 0x90, k, 100) for k in (60, 64, 67, 72)]
+        events += [(0.5, 0x80, k, 0) for k in (60, 64, 67, 72)]
+        body, last = b"", 0
+        for t, st, d1, d2 in events:
+            tick = int(round(t * tps))
+            body += varint(tick - last) + bytes([st, d1, d2])
+            last = tick
+        body += varint(0) + b"\xff\x2f\x00"
+        midi_bytes = (
+            b"MThd" + struct.pack(">ihhh", 6, 0, 1, res)
+            + b"MTrk" + struct.pack(">i", len(body)) + body
+        )
+
+        synth1 = Synthesizer(
+            SoundFont(font_bytes),
+            SynthesizerSettings(block_size=256, maximum_polyphony=16),
+        )
+        single = synth1.render_midi_schedule(MidiFile(midi_bytes), 1.0)
+
+        synth2 = Synthesizer(
+            SoundFont(font_bytes),
+            SynthesizerSettings(block_size=256, maximum_polyphony=16),
+        )
+        mesh = default_mesh(8, axis="v")
+        sharded = render_midi_sharded(synth2, MidiFile(midi_bytes), 1.0, mesh)
+
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
