@@ -93,14 +93,16 @@ def main():
     synth, midi = build_workload()
     seconds = 3.0
 
+    from pygmu2_tpu.soundfont.offline import render_midi_offline
+
     # Warm-up (compile + event simulation).
-    out = synth.render_midi_schedule(midi, seconds)
+    out = render_midi_offline(synth, midi, seconds)
     assert np.isfinite(out).all() and np.abs(out).max() > 0.01
 
     runs = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = synth.render_midi_schedule(midi, seconds)
+        out = render_midi_offline(synth, midi, seconds)
         runs.append(time.perf_counter() - t0)
     wall = min(runs)
     rtf = seconds / wall

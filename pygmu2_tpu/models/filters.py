@@ -26,7 +26,7 @@ from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
 from pygmu2_tpu.models.modes import BiquadMode
-from pygmu2_tpu.ops.linrec import affine_scan_nd, biquad_filter
+from pygmu2_tpu.ops.linrec import affine_scan_2, biquad_filter
 
 
 class _FreqQFilterPE(ProcessingElement):
@@ -242,14 +242,8 @@ class SVFilterPE(_FreqQFilterPE):
         a2 = g * a1
         a3 = g * a2
 
-        A = jnp.stack(
-            [
-                jnp.stack([2.0 * a1 - 1.0, -2.0 * a2], axis=-1),
-                jnp.stack([2.0 * a2, 1.0 - 2.0 * a3], axis=-1),
-            ],
-            axis=-2,
-        )  # (T, 2, 2)
-        B = jnp.stack([2.0 * a2, 2.0 * a3], axis=-1)  # (T, 2)
+        A = (2.0 * a1 - 1.0, -2.0 * a2, 2.0 * a2, 1.0 - 2.0 * a3)  # SoA 2×2
+        B = (2.0 * a2, 2.0 * a3)
 
         zero = jnp.zeros_like(a1)
         one = jnp.ones_like(a1)
@@ -292,16 +286,19 @@ class SVFilterPE(_FreqQFilterPE):
         s0, _ = ctx.state(
             self, init=lambda: jnp.zeros((Cch, 2), prec.AUDIO)
         )
-        A_b = jnp.broadcast_to(A[:, None], (T, Cch, 2, 2))
-        u = B[:, None, :] * x[..., None]  # (T, C, 2)
-        s = affine_scan_nd(A_b, u, s0)
-        s_prev = jnp.concatenate([s0[None], s[:-1]], axis=0)  # state before step
-        y = (
-            C[:, None, 0] * x
-            + C[:, None, 1] * s_prev[..., 0]
-            + C[:, None, 2] * s_prev[..., 1]
+        s1, s2 = affine_scan_2(
+            jnp.broadcast_to(A[0][:, None], (T, Cch)),
+            jnp.broadcast_to(A[1][:, None], (T, Cch)),
+            jnp.broadcast_to(A[2][:, None], (T, Cch)),
+            jnp.broadcast_to(A[3][:, None], (T, Cch)),
+            B[0][:, None] * x,
+            B[1][:, None] * x,
+            s0=(s0[:, 0], s0[:, 1]),
         )
-        ctx.set_state(self, s[-1])
+        s1_prev = jnp.concatenate([s0[None, :, 0], s1[:-1]], axis=0)
+        s2_prev = jnp.concatenate([s0[None, :, 1], s2[:-1]], axis=0)
+        y = C[:, None, 0] * x + C[:, None, 1] * s1_prev + C[:, None, 2] * s2_prev
+        ctx.set_state(self, jnp.stack([s1[-1], s2[-1]], axis=-1))
         return y.astype(prec.AUDIO)
 
     def __repr__(self) -> str:

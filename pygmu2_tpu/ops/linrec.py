@@ -45,6 +45,38 @@ def affine_scan_1(a, u, s0):
     return s
 
 
+def affine_scan_2(a11, a12, a21, a22, u1, u2, s0=None):
+    """Order-2 affine recurrence in structure-of-arrays form.
+
+        s[t] = [[a11[t], a12[t]], [a21[t], a22[t]]] @ s[t-1] + [u1[t], u2[t]]
+
+    All components are (T, ...) arrays (broadcastable). Returns
+    (s1, s2): the two state components after each step, shape (T, ...).
+    Avoids any (..., 2, 2)-shaped array — trailing tiny dims are padded
+    to full tiles on TPU and inflate traffic ~100×.
+    """
+    if s0 is not None:
+        s01, s02 = s0
+        u1 = u1.at[0].add(a11[0] * s01 + a12[0] * s02)
+        u2 = u2.at[0].add(a21[0] * s01 + a22[0] * s02)
+
+    def combine(left, right):
+        a1, b1, c1, d1, p1, q1 = left
+        a2, b2, c2, d2, p2, q2 = right
+        return (
+            a2 * a1 + b2 * c1,
+            a2 * b1 + b2 * d1,
+            c2 * a1 + d2 * c1,
+            c2 * b1 + d2 * d1,
+            a2 * p1 + b2 * q1 + p2,
+            c2 * p1 + d2 * q1 + q2,
+        )
+
+    a11, a12, a21, a22, u1, u2 = jnp.broadcast_arrays(a11, a12, a21, a22, u1, u2)
+    out = jax.lax.associative_scan(combine, (a11, a12, a21, a22, u1, u2))
+    return out[4], out[5]
+
+
 def affine_scan_nd(A, u, s0):
     """D-dimensional affine recurrence ``s[t] = A[t] @ s[t-1] + u[t]``.
 
@@ -75,31 +107,41 @@ def affine_scan_nd(A, u, s0):
         u = u.at[0].add(extra)
 
     if A.shape[-1] == 2:
+        # Structure-of-arrays: scan six (T, ...) component arrays instead
+        # of (T, ..., 2, 2) — trailing dims of 2 get padded to full TPU
+        # tiles (8×128), inflating memory traffic ~100×. As flat
+        # components every array keeps its natural layout.
+        comp = (
+            A[..., 0, 0],
+            A[..., 0, 1],
+            A[..., 1, 0],
+            A[..., 1, 1],
+            u[..., 0],
+            u[..., 1],
+        )
 
         def combine(left, right):
-            A1, u1 = left
-            A2, u2 = right
-            a = A2[..., 0, 0] * A1[..., 0, 0] + A2[..., 0, 1] * A1[..., 1, 0]
-            b = A2[..., 0, 0] * A1[..., 0, 1] + A2[..., 0, 1] * A1[..., 1, 1]
-            c = A2[..., 1, 0] * A1[..., 0, 0] + A2[..., 1, 1] * A1[..., 1, 0]
-            d = A2[..., 1, 0] * A1[..., 0, 1] + A2[..., 1, 1] * A1[..., 1, 1]
-            AA = jnp.stack(
-                [jnp.stack([a, b], axis=-1), jnp.stack([c, d], axis=-1)],
-                axis=-2,
-            )
-            v0 = A2[..., 0, 0] * u1[..., 0] + A2[..., 0, 1] * u1[..., 1] + u2[..., 0]
-            v1 = A2[..., 1, 0] * u1[..., 0] + A2[..., 1, 1] * u1[..., 1] + u2[..., 1]
-            return AA, jnp.stack([v0, v1], axis=-1)
-
-    else:
-
-        def combine(left, right):
-            A1, u1 = left
-            A2, u2 = right
+            a1, b1, c1, d1, p1, q1 = left
+            a2, b2, c2, d2, p2, q2 = right
             return (
-                jnp.einsum("...ij,...jk->...ik", A2, A1),
-                jnp.einsum("...ij,...j->...i", A2, u1) + u2,
+                a2 * a1 + b2 * c1,
+                a2 * b1 + b2 * d1,
+                c2 * a1 + d2 * c1,
+                c2 * b1 + d2 * d1,
+                a2 * p1 + b2 * q1 + p2,
+                c2 * p1 + d2 * q1 + q2,
             )
+
+        out = jax.lax.associative_scan(combine, comp)
+        return jnp.stack([out[4], out[5]], axis=-1)
+
+    def combine(left, right):
+        A1, u1 = left
+        A2, u2 = right
+        return (
+            jnp.einsum("...ij,...jk->...ik", A2, A1),
+            jnp.einsum("...ij,...j->...i", A2, u1) + u2,
+        )
 
     _, s = jax.lax.associative_scan(combine, (A, u))
     return s
@@ -147,20 +189,15 @@ def biquad_filter(x, b0, b1, b2, a1, a2, zi=None):
     xp = jnp.concatenate([x_tail[::-1], x], axis=0)  # rows: x[-2], x[-1], x...
     fir = b0 * xp[2:] + b1 * xp[1:-1] + b2 * xp[:-2]
 
-    zero = jnp.zeros_like(a1)
-    one = jnp.ones_like(a1)
-    A = jnp.stack(
-        [
-            jnp.stack([-a1, -a2], axis=-1),
-            jnp.stack([one, zero], axis=-1),
-        ],
-        axis=-2,
+    y, _ = affine_scan_2(
+        jnp.broadcast_to(-a1, (T, C)),
+        jnp.broadcast_to(-a2, (T, C)),
+        jnp.ones((T, C), dt),
+        jnp.zeros((T, C), dt),
+        fir,
+        jnp.zeros((T, C), dt),
+        s0=(y_tail[0], y_tail[1]),
     )
-    u = jnp.stack([fir, jnp.zeros_like(fir)], axis=-1)  # (T, C, 2)
-    Ab = jnp.broadcast_to(A, (T, C, 2, 2))  # A is (T, 1, 2, 2): coefs per-time
-    s0 = jnp.stack([y_tail[0], y_tail[1]], axis=-1)  # (C, 2) = [y[-1], y[-2]]
-    s = affine_scan_nd(Ab, u, s0)  # (T, C, 2); s[...,0] = y[n]
-    y = s[..., 0]
 
     zf = {
         "x": jnp.stack([x[-1], x[-2] if T >= 2 else x_tail[0]], axis=0),

@@ -289,8 +289,11 @@ class MidiFileSequencer:
             self._synthesizer.note_off_all(False)
 
     def render_to_array(self, seconds: float) -> np.ndarray:
-        """Offline fast path: one scanned device launch for the whole span.
+        """Offline fast path: host-side control pass + ONE parallel device
+        launch for the whole span (see soundfont.offline).
 
         Returns (samples, 2) float32.
         """
-        return self._synthesizer.render_midi_schedule(self._midi_file, seconds)
+        from pygmu2_tpu.soundfont.offline import render_midi_offline
+
+        return render_midi_offline(self._synthesizer, self._midi_file, seconds)

@@ -402,11 +402,6 @@ class Synthesizer:
         elif command == 0x90:
             self.note_on(channel, data1, data2)
         elif command == 0xB0:
-            handlers = {
-                0x00: ch.__class__.bank_number.__set__
-                if isinstance(ch.__class__.bank_number, property)
-                else None,
-            }
             if data1 == 0x00:
                 ch.bank_number = data2
             elif data1 == 0x01:
@@ -840,15 +835,18 @@ class Synthesizer:
             + b1[:, None] * xpad[:, 1:-1]
             + b2[:, None] * xpad[:, :-2]
         )  # (P, N)
-        from pygmu2_tpu.ops.linrec import affine_scan_nd
+        from pygmu2_tpu.ops.linrec import affine_scan_2
 
-        A = jnp.zeros((P, 2, 2), jnp.float32)
-        A = A.at[:, 0, 0].set(-a1).at[:, 0, 1].set(-a2).at[:, 1, 0].set(1.0)
-        Ab = jnp.broadcast_to(A[None], (N, P, 2, 2))
-        u = jnp.stack([fir.T, jnp.zeros_like(fir.T)], axis=-1)  # (N, P, 2)
-        s0 = jnp.stack([fy1, fy2], axis=-1)
-        s = affine_scan_nd(Ab, u, s0)  # (N, P, 2)
-        filtered = s[..., 0].T  # (P, N)
+        s1, _s2 = affine_scan_2(
+            jnp.broadcast_to(-a1[None], (N, P)),
+            jnp.broadcast_to(-a2[None], (N, P)),
+            jnp.ones((N, P), jnp.float32),
+            jnp.zeros((N, P), jnp.float32),
+            fir.T,
+            jnp.zeros((N, P), jnp.float32),
+            s0=(fy1, fy2),
+        )
+        filtered = s1.T  # (P, N)
 
         out_blk = jnp.where(flt_on[:, None], filtered, blk)
         nfx1 = jnp.where(flt_on, blk[:, -1], blk[:, -1])

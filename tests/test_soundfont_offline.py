@@ -1,0 +1,99 @@
+"""Offline (fully-parallel) renderer vs the scanned block renderer."""
+
+import numpy as np
+import pytest
+
+from pygmu2_tpu.soundfont import (
+    MidiFile,
+    SoundFont,
+    Synthesizer,
+    SynthesizerSettings,
+)
+from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
+from pygmu2_tpu.soundfont.offline import render_midi_offline
+from tests.test_soundfont import build_midi
+
+SR = 44100
+
+
+def _compare(font_bytes, events, seconds, block=64, poly=32, atol=2e-5):
+    midi = MidiFile(build_midi(events))
+    s1 = Synthesizer(
+        SoundFont(font_bytes),
+        SynthesizerSettings(block_size=block, maximum_polyphony=poly),
+    )
+    scanned = s1.render_midi_schedule(midi, seconds)
+    s2 = Synthesizer(
+        SoundFont(font_bytes),
+        SynthesizerSettings(block_size=block, maximum_polyphony=poly),
+    )
+    offline = render_midi_offline(s2, midi, seconds)
+    np.testing.assert_allclose(offline, scanned, atol=atol)
+    assert np.abs(scanned).max() > 1e-4  # non-degenerate workload
+
+
+class TestOfflineParity:
+    def test_chord_with_noteoffs(self):
+        font = build_sf2(
+            [{"data": make_looped_sample(261.63, harmonics=4), "rate": 44100,
+              "root_key": 60, "loop": True, "attack_tc": -9000, "release_tc": -5000}]
+        )
+        events = [
+            (0.0, 0x90, 60, 100), (0.0, 0x90, 64, 90), (0.1, 0x90, 67, 80),
+            (0.6, 0x80, 60, 0), (0.8, 0x80, 64, 0), (1.0, 0x80, 67, 0),
+        ]
+        _compare(font, events, 1.5)
+
+    def test_pitch_bend_and_controllers(self):
+        font = build_sf2(
+            [{"data": make_looped_sample(220.0, harmonics=3), "rate": 44100,
+              "root_key": 57, "loop": True}]
+        )
+        events = [
+            (0.0, 0x90, 57, 100),
+            (0.2, 0xE0, 0, 96),    # bend up
+            (0.4, 0xB0, 7, 70),    # volume down
+            (0.6, 0xE0, 0, 64),    # bend center
+            (0.9, 0x80, 57, 0),
+        ]
+        _compare(font, events, 1.2)
+
+    def test_no_loop_sample_ends(self):
+        # Short one-shot: voice dies when the oscillator runs off the end.
+        font = build_sf2(
+            [{"data": make_looped_sample(261.63, cycles=4), "rate": 44100,
+              "root_key": 60, "loop": False}]
+        )
+        events = [(0.0, 0x90, 60, 100), (0.0, 0x90, 72, 100)]
+        _compare(font, events, 0.5)
+
+    def test_loop_until_note_off(self):
+        data = make_looped_sample(261.63, cycles=8)
+        n = len(data)
+        import struct
+
+        from pygmu2_tpu.soundfont.build import build_sf2 as b
+
+        font = b([
+            {"data": data, "rate": 44100, "root_key": 60, "loop": True,
+             "release_tc": -3000}
+        ])
+        # patch loop mode to LOOP_UNTIL_NOTE_OFF (=3) in the igen record:
+        font = font.replace(
+            struct.pack("<Hh", 54, 1), struct.pack("<Hh", 54, 3)
+        )
+        events = [(0.0, 0x90, 60, 100), (0.3, 0x80, 60, 0)]
+        _compare(font, events, 1.0)
+
+    def test_retrigger_same_slot(self):
+        # Rapid retriggers force epoch churn in one slot (poly=8).
+        font = build_sf2(
+            [{"data": make_looped_sample(261.63), "rate": 44100,
+              "root_key": 60, "loop": True, "release_tc": -7000}]
+        )
+        events = []
+        for i in range(12):
+            t = i * 0.08
+            events.append((t, 0x90, 60 + (i % 3), 100))
+            events.append((t + 0.05, 0x80, 60 + (i % 3), 0))
+        _compare(font, events, 1.2, poly=8)
