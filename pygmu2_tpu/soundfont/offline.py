@@ -554,13 +554,18 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     idx_eff = jnp.where(looping[..., None], loop_start[..., None] + w, abs_idx)
     W = wave.shape[0]
     i0 = jnp.clip(idx_eff, 0, W - 2)
-    i1 = i0 + 1
-    i1 = jnp.where(
-        looping[..., None] & (i1 >= (loop_start + loop_len)[..., None]),
-        loop_start[..., None],
-        i1,
-    )
-    smp = (1.0 - frac) * wave[i0] + frac * wave[i1]
+    # wave[i0] and wave[i0 + 1] via the MXU one-hot contraction
+    # (ops.table) — the direct scalar gather costs ~7 ns/element on TPU
+    # and dominated this kernel.  The loop-end wrap (i1 -> loop_start)
+    # is applied afterwards from a tiny (B, P) gather.
+    from pygmu2_tpu.ops.table import paired_table_lookup
+
+    pair = jnp.stack([wave, jnp.concatenate([wave[1:], wave[-1:]])], 1)
+    w0, w1 = paired_table_lookup(pair, i0)
+    ls_val = wave[jnp.clip(loop_start, 0, W - 1)]  # (B, P) — tiny gather
+    wrap = looping[..., None] & ((i0 + 1) >= (loop_start + loop_len)[..., None])
+    w1 = jnp.where(wrap, ls_val[..., None], w1)
+    smp = (1.0 - frac) * w0 + frac * w1
     valid = looping[..., None] | (abs_idx < smp_end[..., None])
     x = jnp.where(valid, smp, 0.0)  # (B, P, N)
 
