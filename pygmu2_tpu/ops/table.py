@@ -6,15 +6,18 @@ size — two orders of magnitude off speed-of-light.  For the small
 wavetables that dominate sample-based synthesis we instead express the
 lookup as a two-level one-hot contraction that runs on the MXU/VPU:
 
-    idx -> (row, col) = (idx >> 7, idx & 127)
+    idx -> (row, col) = (idx >> s, idx & (width - 1))
     out = (one_hot(row) @ table_2d) . one_hot(col)
 
 Both one-hot selections are *exact* in float32 (each product term is
 either the table value or 0.0), so this is bit-identical to the gather.
-Measured 13.6 ms for a paired 17 M-element lookup on a 1.4 k table —
-22x faster than the direct gather.  Tables too large for the one-hot
-matmul (R > _ONEHOT_MAX_ROWS) fall back to gathering full 128-lane rows
-and selecting within the row (2.6x faster than the scalar gather).
+The cost is dominated by building the one-hots and streaming the
+(S, width) row product, i.e. ~ S * (R + 2 * width) elements — minimized
+near width = sqrt(L / 2).  Measured on a 1.4 k table, 17 M paired
+lookups: direct gather 299 ms, width-128 one-hot 13.6 ms, width-32
+one-hot 8.1 ms (37x).  Tables too large for the matmul path fall back
+to gathering full 128-lane rows and selecting within the row (2.6x
+faster than the scalar gather).
 
 Counterpart of the reference's per-voice sample loops
 (reference: meltysynth voice oscillators, sound_source.py); here the
@@ -26,20 +29,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_LANES = 128
-# one_hot(row) width limit for the matmul path: R=32 keeps the row
-# one-hot build + (S, 32) @ (32, 128) contraction VPU/MXU-friendly.
-_ONEHOT_MAX_ROWS = 32
+# matmul path is used while R = ceil(L / width) stays at or below this;
+# beyond it the row one-hot build dominates and row-gather wins.
+_ONEHOT_MAX_ROWS = 128
+_FALLBACK_LANES = 128
 
 
-def _pad_rows(table: jnp.ndarray) -> jnp.ndarray:
-    """(L,) -> (R, 128) with zero padding."""
-    L = table.shape[0]
-    R = -(-L // _LANES)
-    pad = R * _LANES - L
+def _pick_width(L: int) -> int:
+    # minimize R + 2 * width with R = L / width  ->  width ~ sqrt(L / 2)
+    best, best_cost = 8, float("inf")
+    for w in (8, 16, 32, 64, 128):
+        cost = -(-L // w) + 2 * w
+        if cost < best_cost:
+            best, best_cost = w, cost
+    return best
+
+
+def _pad_rows(plane: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(L,) -> (R, width) with zero padding."""
+    L = plane.shape[0]
+    R = -(-L // width)
+    pad = R * width - L
     if pad:
-        table = jnp.concatenate([table, jnp.zeros((pad,), table.dtype)])
-    return table.reshape(R, _LANES)
+        plane = jnp.concatenate([plane, jnp.zeros((pad,), plane.dtype)])
+    return plane.reshape(R, width)
 
 
 def table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -58,18 +71,24 @@ def paired_table_lookup(tables: jnp.ndarray, idx: jnp.ndarray):
     L, K = tables.shape
     shape = idx.shape
     ix = idx.reshape(-1)
-    R = -(-L // _LANES)
-    r = ix >> 7
-    c = ix & (_LANES - 1)
-    ohc = jax.nn.one_hot(c, _LANES, dtype=tables.dtype)  # (S, 128)
-    planes = [_pad_rows(tables[:, k]) for k in range(K)]
-    if R <= _ONEHOT_MAX_ROWS:
+    width = _pick_width(L)
+    if -(-L // width) <= _ONEHOT_MAX_ROWS:
+        R = -(-L // width)
+        shift = width.bit_length() - 1
+        r = ix >> shift
+        c = ix & (width - 1)
         ohr = jax.nn.one_hot(r, R, dtype=tables.dtype)  # (S, R)
+        ohc = jax.nn.one_hot(c, width, dtype=tables.dtype)  # (S, width)
         outs = [
-            jnp.sum((ohr @ p) * ohc, axis=-1).reshape(shape) for p in planes
+            jnp.sum((ohr @ _pad_rows(tables[:, k], width)) * ohc, axis=-1)
+            for k in range(K)
         ]
     else:
+        r = ix >> 7
+        c = ix & (_FALLBACK_LANES - 1)
+        ohc = jax.nn.one_hot(c, _FALLBACK_LANES, dtype=tables.dtype)
         outs = [
-            jnp.sum(p[r] * ohc, axis=-1).reshape(shape) for p in planes
+            jnp.sum(_pad_rows(tables[:, k], _FALLBACK_LANES)[r] * ohc, axis=-1)
+            for k in range(K)
         ]
-    return tuple(outs)
+    return tuple(o.reshape(shape) for o in outs)

@@ -527,14 +527,18 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     T = B * N
 
     ratio = ctrl["ratio"]  # (B, P) f32
-    base = ctrl["base_pos"]  # (B, P) f64, pre-wrapped into the loop on host
     looping = ctrl["looping"]
     loop_start = ctrl["loop_start"].astype(jnp.int32)
     loop_len = jnp.maximum(ctrl["loop_len"].astype(jnp.int32), 1)
     smp_end = ctrl["smp_end"].astype(jnp.int32)
 
-    base_int = jnp.floor(base).astype(jnp.int32)
-    base_frac = (base - jnp.floor(base)).astype(jnp.float32)
+    if "base_int" in ctrl:  # packed path: split on host, f64 never shipped
+        base_int = ctrl["base_int"]
+        base_frac = ctrl["base_frac"]
+    else:
+        base = ctrl["base_pos"]  # (B, P) f64, host-wrapped into the loop
+        base_int = jnp.floor(base).astype(jnp.int32)
+        base_frac = (base - jnp.floor(base)).astype(jnp.float32)
     steps = jnp.arange(N, dtype=jnp.float32)
     offset = base_frac[..., None] + steps * ratio[..., None]  # (B, P, N)
     off_int = jnp.floor(offset)
@@ -634,14 +638,44 @@ def _audio_pass(ctrl, wave, N: int, master: float):
 
 _audio_pass_jit = jax.jit(_audio_pass, static_argnums=(2,))
 
+# Packed upload: the control dict is 18 separate (B, P) buffers; through
+# the host<->device tunnel each transfer pays fixed latency, so ship
+# three stacked tensors instead. base_pos (f64) is split host-side into
+# exact int32/float32 planes (the device recomputed exactly this split).
+_PACK_F32 = ("ratio", "b0", "b1", "b2", "a1", "a2", "gl", "gr", "pgl", "pgr", "base_frac")
+_PACK_I32 = ("loop_start", "loop_len", "smp_end", "base_int")
+_PACK_BOOL = ("looping", "alive", "fresh")
+
+
+def _pack_control(ctrl):
+    base = ctrl["base_pos"]
+    base_int = np.floor(base)
+    d = dict(ctrl)
+    d["base_int"] = base_int.astype(np.int32)
+    d["base_frac"] = (base - base_int).astype(np.float32)
+    f32 = np.stack([d[k].astype(np.float32, copy=False) for k in _PACK_F32])
+    i32 = np.stack([d[k].astype(np.int32, copy=False) for k in _PACK_I32])
+    bl = np.stack([d[k] for k in _PACK_BOOL])
+    return f32, i32, bl
+
+
+def _audio_pass_packed(f32, i32, bl, wave, N: int, master):
+    ctrl = {k: f32[i] for i, k in enumerate(_PACK_F32)}
+    ctrl.update({k: i32[i] for i, k in enumerate(_PACK_I32)})
+    ctrl.update({k: bl[i] for i, k in enumerate(_PACK_BOOL)})
+    return _audio_pass(ctrl, wave, N, master)
+
+
+_audio_pass_packed_jit = jax.jit(_audio_pass_packed, static_argnums=(4,))
+
 
 def render_midi_offline(synth, midi_file, seconds: float) -> np.ndarray:
     """Host-control + single-launch device render. Returns (samples, 2)."""
     par_np, ch_np, snap_idx, n_blocks = synth.build_schedule(midi_file, seconds)
     ctrl = compute_control(synth, par_np, ch_np, snap_idx)
-    ctrl_j = {k: jnp.asarray(v) for k, v in ctrl.items()}
-    out = _audio_pass_jit(
-        ctrl_j, synth._wave, synth.block_size, float(synth.master_volume)
+    f32, i32, bl = _pack_control(ctrl)
+    out = _audio_pass_packed_jit(
+        f32, i32, bl, synth._wave, synth.block_size, float(synth.master_volume)
     )
     total = int(round(seconds * synth.sample_rate))
     synth.reset()
