@@ -38,63 +38,63 @@ LOG_NON_AUDIBLE = math.log(NON_AUDIBLE)
 # ---- numpy twins of the closed-form control functions ------------------
 
 
-def _exp_cutoff_np(x):
-    return np.where(x < LOG_NON_AUDIBLE, 0.0, np.exp(np.minimum(x, 0.0)))
+def _exp_cutoff_np(x, xp=np):
+    return xp.where(x < LOG_NON_AUDIBLE, 0.0, xp.exp(xp.minimum(x, 0.0)))
 
 
-def _vol_env_np(t, p, released, rel_t, rel_level):
-    held = np.where(
+def _vol_env_np(t, p, released, rel_t, rel_level, xp=np):
+    held = xp.where(
         t < p["v_att_start"],
         0.0,
-        np.where(
+        xp.where(
             t < p["v_hold_start"],
             p["v_att_slope"] * (t - p["v_att_start"]),
-            np.where(
+            xp.where(
                 t < p["v_dec_start"],
                 1.0,
-                np.maximum(
-                    _exp_cutoff_np(p["v_dec_slope"] * (t - p["v_dec_start"])),
+                xp.maximum(
+                    _exp_cutoff_np(p["v_dec_slope"] * (t - p["v_dec_start"]), xp),
                     p["v_sustain"],
                 ),
             ),
         ),
     )
-    rel = rel_level * _exp_cutoff_np(p["v_rel_slope"] * (t - rel_t))
-    return np.where(released, rel, held)
+    rel = rel_level * _exp_cutoff_np(p["v_rel_slope"] * (t - rel_t), xp)
+    return xp.where(released, rel, held)
 
 
-def _mod_env_np(t, p, released, rel_t, rel_level):
-    held = np.where(
+def _mod_env_np(t, p, released, rel_t, rel_level, xp=np):
+    held = xp.where(
         t < p["m_att_start"],
         0.0,
-        np.where(
+        xp.where(
             t < p["m_hold_start"],
             p["m_att_slope"] * (t - p["m_att_start"]),
-            np.where(
+            xp.where(
                 t < p["m_dec_start"],
                 1.0,
-                np.maximum(
+                xp.maximum(
                     p["m_dec_slope"] * (p["m_dec_end"] - t), p["m_sustain"]
                 ),
             ),
         ),
     )
-    rel = np.maximum(
-        rel_level * (1.0 - (t - rel_t) / np.maximum(p["m_rel_dur"], 1e-9)), 0.0
+    rel = xp.maximum(
+        rel_level * (1.0 - (t - rel_t) / xp.maximum(p["m_rel_dur"], 1e-9)), 0.0
     )
-    return np.where(released, rel, held)
+    return xp.where(released, rel, held)
 
 
-def _lfo_np(t, delay, period):
+def _lfo_np(t, delay, period, xp=np):
     active = period > 0.0
-    safe = np.maximum(period, 1e-9)
-    phase = np.mod(t - delay, safe) / safe
-    tri = np.where(
+    safe = xp.maximum(period, 1e-9)
+    phase = xp.mod(t - delay, safe) / safe
+    tri = xp.where(
         phase < 0.25,
         4.0 * phase,
-        np.where(phase < 0.75, 4.0 * (0.5 - phase), 4.0 * (phase - 1.0)),
+        xp.where(phase < 0.75, 4.0 * (0.5 - phase), 4.0 * (phase - 1.0)),
     )
-    return np.where(active & (t >= delay), tri, 0.0)
+    return xp.where(active & (t >= delay), tri, 0.0)
 
 
 def compute_control(synth, par_np, ch_np, snap_idx):
@@ -670,7 +670,35 @@ _audio_pass_packed_jit = jax.jit(_audio_pass_packed, static_argnums=(4,))
 
 
 def render_midi_offline(synth, midi_file, seconds: float) -> np.ndarray:
-    """Host-control + single-launch device render. Returns (samples, 2)."""
+    """Schedule on host, control + audio fused in ONE device launch.
+
+    Only the deduplicated event schedule crosses the link (tens of KB
+    for minutes of MIDI); the per-(block, voice) control grid that the
+    host pass produces (~1 MB for 3 s) is computed on device instead.
+    """
+    par_np, ch_np, snap_idx, n_blocks = synth.build_schedule(midi_file, seconds)
+    pf32, pi32, pf64, cf32, chold, flags = _pack_schedule(par_np, ch_np)
+    out = _render_fused_jit(
+        pf32,
+        pi32,
+        pf64,
+        cf32,
+        chold,
+        jnp.asarray(snap_idx),
+        synth._wave,
+        synth.block_size,
+        float(synth.master_volume),
+        flags,
+        int(synth._minimum_voice_duration),
+        float(synth.sample_rate),
+    )
+    total = int(round(seconds * synth.sample_rate))
+    synth.reset()
+    return np.asarray(out)[:total]
+
+
+def render_midi_offline_hostctl(synth, midi_file, seconds: float) -> np.ndarray:
+    """Host-control variant (numpy control pass + packed upload)."""
     par_np, ch_np, snap_idx, n_blocks = synth.build_schedule(midi_file, seconds)
     ctrl = compute_control(synth, par_np, ch_np, snap_idx)
     f32, i32, bl = _pack_control(ctrl)
@@ -680,3 +708,233 @@ def render_midi_offline(synth, midi_file, seconds: float) -> np.ndarray:
     total = int(round(seconds * synth.sample_rate))
     synth.reset()
     return np.asarray(out)[:total]
+
+
+# ---- device-side control (fused schedule -> audio) ----------------------
+
+_PAR_F32 = (
+    "key", "note_gain", "cutoff", "resonance", "vib2pitch", "mod2pitch",
+    "modenv2pitch", "modlfo2cut", "modenv2cut", "modlfo2vol", "inst_pan",
+    "v_att_start", "v_hold_start", "v_dec_start", "v_att_slope",
+    "v_dec_slope", "v_rel_slope", "v_sustain", "m_att_start",
+    "m_hold_start", "m_dec_start", "m_att_slope", "m_dec_slope",
+    "m_dec_end", "m_rel_dur", "m_sustain", "vib_delay", "vib_period",
+    "mod_delay", "mod_period", "root_key", "tune", "pitch_scale",
+)
+_PAR_I32 = ("epoch", "channel", "loop_mode", "release_req")
+_PAR_F64 = ("smp_start", "smp_end", "loop_start", "loop_end", "srate_ratio")
+_CH_F32 = ("ch_mod", "ch_vol_exp", "ch_pan", "ch_pitch")
+
+
+def _pack_schedule(par_np, ch_np):
+    """Stack the schedule by dtype; also derive static trace flags."""
+    pf32 = np.stack([par_np[k] for k in _PAR_F32])
+    pi32 = np.stack([par_np[k] for k in _PAR_I32])
+    pf64 = np.stack([par_np[k] for k in _PAR_F64])
+    cf32 = np.stack([ch_np[k] for k in _CH_F32])
+    chold = ch_np["ch_hold"]
+    mode3_any = bool((par_np["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)).any())
+    dynamic_any = bool(
+        ((par_np["modlfo2cut"] != 0.0) | (par_np["modenv2cut"] != 0.0)).any()
+    )
+    return (
+        jnp.asarray(pf32),
+        jnp.asarray(pi32),
+        jnp.asarray(pf64),
+        jnp.asarray(cf32),
+        jnp.asarray(chold),
+        (mode3_any, dynamic_any),
+    )
+
+
+def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, sr):
+    """jnp mirror of _compute_control_vectorized (same f32 arithmetic).
+
+    All (B, P) sequential chains become cummax/cumsum along the block
+    axis; the only lax.scan (the clamped cutoff smoother) is traced only
+    when the soundfont actually modulates cutoff (static flag).
+    """
+    mode3_any, dynamic_any = flags
+    B = snap_idx.shape[0]
+    P = pf32.shape[2]
+    rpo = np.float32(1.0 - 1.0 / math.sqrt(2.0))
+    xp = jnp
+
+    par = {k: pf32[i][snap_idx] for i, k in enumerate(_PAR_F32)}
+    pari = {k: pi32[i][snap_idx] for i, k in enumerate(_PAR_I32)}
+    par64 = {k: pf64[i][snap_idx] for i, k in enumerate(_PAR_F64)}
+    ch = {k: cf32[i][snap_idx] for i, k in enumerate(_CH_F32)}
+    ch["ch_hold"] = chold[snap_idx]
+    chan = pari["channel"]
+    par["release_req"] = pari["release_req"]  # int compare below
+    b_idx = jnp.arange(B, dtype=jnp.int64)[:, None]
+
+    def chv(name):
+        return jnp.take_along_axis(ch[name], chan, axis=1)
+
+    epoch = pari["epoch"]
+    fresh = jnp.concatenate(
+        [jnp.ones((1, P), bool), epoch[1:] != epoch[:-1]], axis=0
+    )
+    seg_start = jax.lax.cummax(jnp.where(fresh, b_idx, -1), axis=0)
+    vt = (b_idx - seg_start) * N
+    t_now = (vt / sr).astype(jnp.float32)
+    t_end = ((vt + N) / sr).astype(jnp.float32)
+
+    def seg_gather(arr):
+        return jnp.take_along_axis(arr, seg_start, axis=0)
+
+    hold = chv("ch_hold")
+    eligible = (par["release_req"] <= vt) & (vt >= min_dur) & ~hold
+    elig_cs = jnp.cumsum(eligible, axis=0)
+    excl = jnp.concatenate([jnp.zeros((1, P), elig_cs.dtype), elig_cs[:-1]], 0)
+    elig_in_seg = elig_cs - seg_gather(excl)
+    released = elig_in_seg > 0
+    first_elig = eligible & (elig_in_seg == 1)
+    marker_row = jnp.where(first_elig, b_idx, -1)
+    marker_cm = jax.lax.cummax(marker_row, axis=0)
+    rel_valid = marker_cm >= seg_start
+    rel_row = jnp.clip(marker_cm, 0, B - 1)
+    rel_t = jnp.where(
+        released & rel_valid,
+        jnp.take_along_axis(t_now, rel_row, axis=0),
+        0.0,
+    ).astype(jnp.float32)
+    released = released & rel_valid
+
+    rel_vol = _vol_env_np(rel_t, par, False, rel_t, 0.0, xp).astype(jnp.float32)
+    rel_mod = _mod_env_np(rel_t, par, False, rel_t, 0.0, xp).astype(jnp.float32)
+    vol_env = _vol_env_np(t_end, par, released, rel_t, rel_vol, xp)
+    mod_env = _mod_env_np(t_end, par, released, rel_t, rel_mod, xp)
+    vib = _lfo_np(t_end, par["vib_delay"], par["vib_period"], xp)
+    mlf = _lfo_np(t_end, par["mod_delay"], par["mod_period"], xp)
+
+    dead_vol = (vol_env <= NON_AUDIBLE) & (released | (t_end >= par["v_dec_start"]))
+
+    pitch = (
+        par["key"]
+        + (np.float32(0.01) * chv("ch_mod") + par["vib2pitch"]) * vib
+        + par["mod2pitch"] * mlf
+        + par["modenv2pitch"] * mod_env
+        + chv("ch_pitch")
+    )
+    pitch_change = par["pitch_scale"] * (pitch - par["root_key"]) + par["tune"]
+    ratio = par64["srate_ratio"] * 2.0 ** (pitch_change.astype(jnp.float64) / 12.0)
+
+    looping = (pari["loop_mode"] == int(LoopMode.CONTINUOUS)) | (
+        (pari["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)) & ~released
+    )
+    advance = N * ratio
+    adv_cs = jnp.cumsum(advance, axis=0)
+    adv_excl = jnp.concatenate([jnp.zeros((1, P), adv_cs.dtype), adv_cs[:-1]], 0)
+    base = par64["smp_start"] + (adv_excl - seg_gather(adv_excl))
+
+    loop_len = jnp.maximum(par64["loop_end"] - par64["loop_start"], 1.0)
+    if mode3_any:
+        base_at_rel = jnp.take_along_axis(base, rel_row, axis=0)
+        wrapped_at_rel = (
+            jnp.mod(base_at_rel - par64["loop_start"], loop_len)
+            + par64["loop_start"]
+        )
+        mode3 = pari["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)
+        fix = mode3 & released
+        base = jnp.where(fix, base - base_at_rel + wrapped_at_rel, base)
+    dead_osc = ~looping & (base >= par64["smp_end"])
+    base = jnp.where(
+        looping,
+        jnp.mod(base - par64["loop_start"], loop_len) + par64["loop_start"],
+        base,
+    )
+
+    res = par["resonance"]
+    if dynamic_any:
+        dynamic = (par["modlfo2cut"] != 0.0) | (par["modenv2cut"] != 0.0)
+        cents = par["modlfo2cut"] * mlf + par["modenv2cut"] * mod_env
+        new_cut = (2.0 ** (cents / 1200.0)).astype(jnp.float32) * par["cutoff"]
+
+        def body(prev, xs):
+            fr, cut0, dyn, nc = xs
+            prev = jnp.where(fr, cut0, prev)
+            prev = jnp.where(
+                dyn, jnp.clip(nc, 0.5 * prev, 2.0 * prev), prev
+            ).astype(jnp.float32)
+            return prev, prev
+
+        _, smc = jax.lax.scan(
+            body, par["cutoff"][0], (fresh, par["cutoff"], dynamic, new_cut)
+        )
+        cutoff = jnp.where(dynamic, smc, par["cutoff"])
+    else:
+        cutoff = par["cutoff"]
+    flt_on = cutoff < 0.499 * sr
+    q = res - rpo / (1.0 + 6.0 * (res - 1.0))
+    w = np.float32(2.0 * np.pi) * cutoff / np.float32(sr)
+    cosw = jnp.cos(w)
+    alpha = jnp.sin(w) / (2.0 * jnp.maximum(q, 1e-6))
+    a0 = 1.0 + alpha
+    b0 = jnp.where(flt_on, ((1.0 - cosw) / 2.0) / a0, 1.0).astype(jnp.float32)
+    b1 = jnp.where(flt_on, (1.0 - cosw) / a0, 0.0).astype(jnp.float32)
+    b2 = jnp.where(flt_on, ((1.0 - cosw) / 2.0) / a0, 0.0).astype(jnp.float32)
+    a1 = jnp.where(flt_on, (-2.0 * cosw) / a0, 0.0).astype(jnp.float32)
+    a2 = jnp.where(flt_on, (1.0 - alpha) / a0, 0.0).astype(jnp.float32)
+
+    ve = chv("ch_vol_exp")
+    mix_gain = par["note_gain"] * ve * ve * vol_env.astype(jnp.float32)
+    dyn_vol = par["modlfo2vol"] > 0.05
+    mix_gain = mix_gain * jnp.where(
+        dyn_vol, (10.0 ** (0.05 * par["modlfo2vol"] * mlf)).astype(jnp.float32), 1.0
+    )
+    angle = np.float32(np.pi / 200.0) * (
+        chv("ch_pan") + par["inst_pan"] + np.float32(50.0)
+    )
+    gl = jnp.where(
+        angle <= 0.0,
+        mix_gain,
+        jnp.where(angle >= np.float32(np.pi / 2), 0.0, mix_gain * jnp.cos(angle)),
+    ).astype(jnp.float32)
+    gr = jnp.where(
+        angle <= 0.0,
+        0.0,
+        jnp.where(angle >= np.float32(np.pi / 2), mix_gain, mix_gain * jnp.sin(angle)),
+    ).astype(jnp.float32)
+    pgl = jnp.where(fresh, gl, jnp.roll(gl, 1, axis=0))
+    pgr = jnp.where(fresh, gr, jnp.roll(gr, 1, axis=0))
+
+    active0 = par["note_gain"] >= NON_AUDIBLE
+    dead = dead_vol | dead_osc
+    dead_cs = jnp.cumsum(dead, axis=0)
+    dead_excl = jnp.concatenate([jnp.zeros((1, P), dead_cs.dtype), dead_cs[:-1]], 0)
+    dead_before = (dead_excl - seg_gather(dead_excl)) > 0
+    alive = active0 & ~dead_before & ~dead
+
+    return {
+        "ratio": ratio.astype(jnp.float32),
+        "base_pos": base,
+        "looping": looping,
+        "alive": alive,
+        "fresh": fresh,
+        "b0": b0,
+        "b1": b1,
+        "b2": b2,
+        "a1": a1,
+        "a2": a2,
+        "gl": gl,
+        "gr": gr,
+        "pgl": pgl,
+        "pgr": pgr,
+        "loop_start": par64["loop_start"],
+        "loop_len": loop_len,
+        "smp_end": par64["smp_end"],
+    }
+
+
+def _render_fused(
+    pf32, pi32, pf64, cf32, chold, snap_idx, wave, N, master, flags, min_dur, sr
+):
+    ctrl = _control_device(
+        pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, sr
+    )
+    return _audio_pass(ctrl, wave, N, master)
+
+
+_render_fused_jit = jax.jit(_render_fused, static_argnums=(7, 9, 10, 11))

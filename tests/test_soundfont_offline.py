@@ -97,3 +97,21 @@ class TestOfflineParity:
             events.append((t, 0x90, 60 + (i % 3), 100))
             events.append((t + 0.05, 0x80, 60 + (i % 3), 0))
         _compare(font, events, 1.2, poly=8)
+
+
+def test_device_control_matches_host_control():
+    """The jnp control pass must match the numpy control pass."""
+    from pygmu2_tpu.soundfont.offline import render_midi_offline_hostctl
+
+    font = build_sf2(
+        [{"data": make_looped_sample(261.63, harmonics=4), "rate": 44100,
+          "root_key": 60, "loop": True, "attack_tc": -9000, "release_tc": -5000}]
+    )
+    events = [(0.0, 0x90, 60, 100), (0.15, 0x90, 64, 90), (0.4, 0x80, 60, 0)]
+    midi = MidiFile(build_midi(events))
+    mk = lambda: Synthesizer(
+        SoundFont(font), SynthesizerSettings(block_size=64, maximum_polyphony=8)
+    )
+    a = render_midi_offline_hostctl(mk(), midi, 0.7)
+    b = render_midi_offline(mk(), midi, 0.7)
+    np.testing.assert_allclose(a, b, atol=1e-5)
