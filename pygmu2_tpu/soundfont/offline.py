@@ -520,42 +520,51 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     """One parallel program over the whole timeline.
 
     ctrl fields are (B, P); returns (B·N, 2) float32.
+
+    Everything audio-rate lives in (B, N, P) / (T, P) layout: P = 128
+    voices ride the TPU lanes, the time axis is the leading (cheap)
+    dimension, and no (time x voices)-sized transpose ever happens —
+    (B, P) control planes are broadcast straight into the big layout
+    and the associative filter scan consumes (T, P) natively.
     """
     from pygmu2_tpu.ops.linrec import affine_scan_2
 
     B, P = ctrl["ratio"].shape
     T = B * N
 
-    ratio = ctrl["ratio"]  # (B, P) f32
-    looping = ctrl["looping"]
-    loop_start = ctrl["loop_start"].astype(jnp.int32)
-    loop_len = jnp.maximum(ctrl["loop_len"].astype(jnp.int32), 1)
-    smp_end = ctrl["smp_end"].astype(jnp.int32)
+    def e(c):  # (B, P) -> (B, 1, P) broadcast plane
+        return c[:, None, :]
+
+    ratio = e(ctrl["ratio"])  # f32
+    looping = e(ctrl["looping"])
+    loop_start = e(ctrl["loop_start"].astype(jnp.int32))
+    loop_len = e(jnp.maximum(ctrl["loop_len"].astype(jnp.int32), 1))
+    smp_end = e(ctrl["smp_end"].astype(jnp.int32))
 
     if "base_int" in ctrl:  # packed path: split on host, f64 never shipped
-        base_int = ctrl["base_int"]
-        base_frac = ctrl["base_frac"]
+        base_int = e(ctrl["base_int"])
+        base_frac = e(ctrl["base_frac"])
     else:
-        base = ctrl["base_pos"]  # (B, P) f64, host-wrapped into the loop
-        base_int = jnp.floor(base).astype(jnp.int32)
-        base_frac = (base - jnp.floor(base)).astype(jnp.float32)
-    steps = jnp.arange(N, dtype=jnp.float32)
-    offset = base_frac[..., None] + steps * ratio[..., None]  # (B, P, N)
+        base = ctrl["base_pos"]  # (B, P) f64, wrapped into the loop
+        base_int = e(jnp.floor(base).astype(jnp.int32))
+        base_frac = e((base - jnp.floor(base)).astype(jnp.float32))
+    steps = jnp.arange(N, dtype=jnp.float32)[None, :, None]  # (1, N, 1)
+    offset = base_frac + steps * ratio  # (B, N, P)
     off_int = jnp.floor(offset)
     frac = offset - off_int
-    abs_idx = base_int[..., None] + off_int.astype(jnp.int32)
+    abs_idx = base_int + off_int.astype(jnp.int32)
     # Loop wrap WITHOUT integer mod (int32 division is software-emulated
-    # on TPU and dominated this kernel): the base is host-wrapped into
+    # on TPU and dominated this kernel): the base is pre-wrapped into
     # [loop_start, loop_end), so the in-loop index is bounded by
     # loop_len + N·ratio; divide by multiplying with the reciprocal and
     # correct the ±1 ulp cases exactly in integer math.
-    phi = abs_idx - loop_start[..., None]  # ≥ 0, modest magnitude
-    inv_ll = (1.0 / loop_len.astype(jnp.float32))[..., None]
+    phi = abs_idx - loop_start  # ≥ 0, modest magnitude
+    inv_ll = 1.0 / loop_len.astype(jnp.float32)
     k = jnp.floor(phi.astype(jnp.float32) * inv_ll).astype(jnp.int32)
-    w = phi - k * loop_len[..., None]
-    w = jnp.where(w < 0, w + loop_len[..., None], w)
-    w = jnp.where(w >= loop_len[..., None], w - loop_len[..., None], w)
-    idx_eff = jnp.where(looping[..., None], loop_start[..., None] + w, abs_idx)
+    w = phi - k * loop_len
+    w = jnp.where(w < 0, w + loop_len, w)
+    w = jnp.where(w >= loop_len, w - loop_len, w)
+    idx_eff = jnp.where(looping, loop_start + w, abs_idx)
     W = wave.shape[0]
     i0 = jnp.clip(idx_eff, 0, W - 2)
     # wave[i0] and wave[i0 + 1] via the MXU one-hot contraction
@@ -566,25 +575,23 @@ def _audio_pass(ctrl, wave, N: int, master: float):
 
     pair = jnp.stack([wave, jnp.concatenate([wave[1:], wave[-1:]])], 1)
     w0, w1 = paired_table_lookup(pair, i0)
-    ls_val = wave[jnp.clip(loop_start, 0, W - 1)]  # (B, P) — tiny gather
-    wrap = looping[..., None] & ((i0 + 1) >= (loop_start + loop_len)[..., None])
-    w1 = jnp.where(wrap, ls_val[..., None], w1)
+    ls_val = wave[jnp.clip(loop_start, 0, W - 1)]  # (B, 1, P) — tiny gather
+    wrap = looping & ((i0 + 1) >= (loop_start + loop_len))
+    w1 = jnp.where(wrap, ls_val, w1)
     smp = (1.0 - frac) * w0 + frac * w1
-    valid = looping[..., None] | (abs_idx < smp_end[..., None])
-    x = jnp.where(valid, smp, 0.0)  # (B, P, N)
+    valid = looping | (abs_idx < smp_end)
+    xt = jnp.where(valid, smp, 0.0).reshape(T, P)
 
     # ---- filter over the whole timeline, per voice ----
-    xt = jnp.transpose(x, (1, 0, 2)).reshape(P, T)  # (P, T)
     # epoch boundaries: first samples of fresh blocks must not see the
     # previous epoch through the FIR taps or the y-state.
     fresh = ctrl["fresh"]  # (B, P)
-    boundary = jnp.zeros((P, B, N), bool).at[:, :, 0].set(fresh.T)
-    boundary = boundary.reshape(P, T)  # True at each epoch's sample 0
+    boundary = (
+        jnp.zeros((B, N, P), bool).at[:, 0, :].set(fresh).reshape(T, P)
+    )  # True at each epoch's sample 0
 
-    def per_sample(c):  # (B, P) → (P, T)
-        return jnp.repeat(
-            jnp.transpose(c, (1, 0))[:, :, None], N, axis=2
-        ).reshape(P, T)
+    def per_sample(c):  # (B, P) → (T, P)
+        return jnp.broadcast_to(e(c), (B, N, P)).reshape(T, P)
 
     b0 = per_sample(ctrl["b0"])
     b1 = per_sample(ctrl["b1"])
@@ -592,47 +599,46 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     a1 = per_sample(ctrl["a1"])
     a2 = per_sample(ctrl["a2"])
 
-    x1 = jnp.concatenate([jnp.zeros((P, 1), xt.dtype), xt[:, :-1]], axis=1)
-    x2 = jnp.concatenate([jnp.zeros((P, 2), xt.dtype), xt[:, :-2]], axis=1)
+    x1 = jnp.concatenate([jnp.zeros((1, P), xt.dtype), xt[:-1]], axis=0)
+    x2 = jnp.concatenate([jnp.zeros((2, P), xt.dtype), xt[:-2]], axis=0)
     b1_ok = ~boundary
     b2_ok = b1_ok & jnp.concatenate(
-        [jnp.ones((P, 1), bool), b1_ok[:, :-1]], axis=1
+        [jnp.ones((1, P), bool), b1_ok[:-1]], axis=0
     )
     fir = b0 * xt + b1 * jnp.where(b1_ok, x1, 0.0) + b2 * jnp.where(b2_ok, x2, 0.0)
 
     # state transition zeroed at boundaries (resets y1/y2)
     keep = (~boundary).astype(jnp.float32)
-    s1, _s2 = affine_scan_2(
-        (-a1 * keep).T,
-        (-a2 * keep).T,
-        keep.T,
+    y, _s2 = affine_scan_2(
+        -a1 * keep,
+        -a2 * keep,
+        keep,
         jnp.zeros((T, P), jnp.float32),
-        fir.T,
+        fir,
         jnp.zeros((T, P), jnp.float32),
-    )
-    y = s1.T  # (P, T)
+    )  # (T, P)
 
     # ---- gains with per-block ramps ----
-    ramp = steps / N  # (N,)
+    ramp = steps / N  # (1, N, 1)
 
-    def gain_grid(prev, cur):  # (B, P) each → (P, T)
+    def gain_grid(prev, cur):  # (B, P) each → (T, P)
         audible = jnp.maximum(prev, cur) >= NON_AUDIBLE
         const = jnp.abs(cur - prev) < 1.0e-3
         g = jnp.where(
-            const[..., None],
-            cur[..., None],
-            prev[..., None] + (cur - prev)[..., None] * ramp,
-        )  # (B, P, N)
-        g = jnp.where(audible[..., None], g, 0.0)
-        return jnp.transpose(g, (1, 0, 2)).reshape(P, T)
+            e(const),
+            e(cur),
+            e(prev) + e(cur - prev) * ramp,
+        )  # (B, N, P)
+        g = jnp.where(e(audible), g, 0.0)
+        return g.reshape(T, P)
 
     alive = ctrl["alive"]
     m = jnp.float32(master)
     gl = gain_grid(m * jnp.where(alive, ctrl["pgl"], 0.0), m * jnp.where(alive, ctrl["gl"], 0.0))
     gr = gain_grid(m * jnp.where(alive, ctrl["pgr"], 0.0), m * jnp.where(alive, ctrl["gr"], 0.0))
 
-    L = jnp.sum(gl * y, axis=0)
-    R = jnp.sum(gr * y, axis=0)
+    L = jnp.sum(gl * y, axis=1)
+    R = jnp.sum(gr * y, axis=1)
     return jnp.stack([L, R], axis=1).astype(jnp.float32)
 
 
