@@ -108,6 +108,32 @@ def main():
     rtf = seconds / wall
     total = int(seconds * 44100)
 
+    # Stage breakdown (informational): schedule (host) / execute (device)
+    # / download (link). Through the dev tunnel the link dominates; on a
+    # host-attached chip it is negligible.
+    import jax.numpy as jnp
+    from pygmu2_tpu.soundfont import offline as _off
+
+    t0 = time.perf_counter()
+    par_np, ch_np, snap_idx, _nb = synth.build_schedule(midi, seconds)
+    packed = _off._pack_schedule(par_np, ch_np)
+    t1 = time.perf_counter()
+    r = _off._render_fused_jit(
+        *packed[:5], jnp.asarray(snap_idx), synth._wave, synth.block_size,
+        float(synth.master_volume), packed[5],
+        int(synth._minimum_voice_duration), float(synth.sample_rate),
+    )
+    jax.block_until_ready(r)
+    t2 = time.perf_counter()
+    np.asarray(r)
+    t3 = time.perf_counter()
+    synth.reset()
+    stages = {
+        "schedule_host_ms": round(1e3 * (t1 - t0), 1),
+        "execute_device_ms": round(1e3 * (t2 - t1), 1),
+        "download_link_ms": round(1e3 * (t3 - t2), 1),
+    }
+
     print(
         json.dumps(
             {
@@ -119,6 +145,7 @@ def main():
                     "wall_s": round(wall, 4),
                     "msamples_per_s": round(total / wall / 1e6, 1),
                     "backend": jax.default_backend(),
+                    "stages": stages,
                     "workload": "128-voice SoundFont MIDI render, 3 s @ 44.1 kHz, block 1024",
                     "baseline": "reference vectorized meltysynth 12.37x realtime (CPU)",
                 },

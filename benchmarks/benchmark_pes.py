@@ -102,13 +102,19 @@ def main():
         try:
             pe = build()
             out = engine.render_scan(pe, 0, total, 16384)  # warm-up/compile
-            jax.block_until_ready(out)
+            # Force a device->host transfer before timing: on remote
+            # targets block_until_ready() alone returns at enqueue until
+            # the process has performed one D2H (see OPTIMIZING.md 1b),
+            # which silently fakes the numbers.
+            import numpy as _np
+
+            _np.asarray(out)
             times = []
             for _ in range(args.runs):
                 pe2 = build()
                 t0 = time.perf_counter()
                 out = engine.render_scan(pe2, 0, total, 16384)
-                jax.block_until_ready(out)
+                _np.asarray(out)  # render-to-host is the real workload
                 times.append((time.perf_counter() - t0) * 1e3)
             mean = statistics.mean(times)
             std = statistics.stdev(times) if len(times) > 1 else 0.0
