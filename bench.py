@@ -128,9 +128,22 @@ def main():
     np.asarray(r)
     t3 = time.perf_counter()
     synth.reset()
+    # amortized device time (10 back-to-back executions) — excludes the
+    # per-call link round-trip that the single-call number above includes
+    t4 = time.perf_counter()
+    for _ in range(10):
+        r = _off._render_fused_jit(
+            *packed[:5], jnp.asarray(snap_idx), synth._wave,
+            synth.block_size, float(synth.master_volume), packed[5],
+            int(synth._minimum_voice_duration), float(synth.sample_rate),
+        )
+    jax.block_until_ready(r)
+    exec_amort = (time.perf_counter() - t4) / 10
     stages = {
         "schedule_host_ms": round(1e3 * (t1 - t0), 1),
         "execute_device_ms": round(1e3 * (t2 - t1), 1),
+        "execute_amortized_ms": round(1e3 * exec_amort, 1),
+        "device_only_rtf": round(seconds / exec_amort, 0),
         "download_link_ms": round(1e3 * (t3 - t2), 1),
     }
 

@@ -582,6 +582,30 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     valid = looping | (abs_idx < smp_end)
     xt = jnp.where(valid, smp, 0.0).reshape(T, P)
 
+    m = jnp.float32(master)
+    alive = ctrl["alive"]
+    if (
+        jax.default_backend() == "tpu"
+        and P % 128 == 0
+        and N % 128 == 0
+    ):
+        # fused filter + gain ramps + mixdown in one Pallas pass
+        from pygmu2_tpu.soundfont.filter_pallas import filter_gain_mix_pallas
+
+        rows = {
+            "b0": ctrl["b0"],
+            "b1": ctrl["b1"],
+            "b2": ctrl["b2"],
+            "a1": ctrl["a1"],
+            "a2": ctrl["a2"],
+            "freshf": ctrl["fresh"].astype(jnp.float32),
+            "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
+            "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
+            "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
+            "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
+        }
+        return filter_gain_mix_pallas(xt, rows, N)
+
     # ---- filter over the whole timeline, per voice ----
     # epoch boundaries: first samples of fresh blocks must not see the
     # previous epoch through the FIR taps or the y-state.
