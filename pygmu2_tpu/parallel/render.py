@@ -139,3 +139,56 @@ def render_midi_sharded(synth, midi_file, seconds: float, mesh: Mesh) -> np.ndar
     total = int(round(seconds * synth.sample_rate))
     synth.reset()
     return np.asarray(out)[:total]
+
+
+def render_midi_offline_sharded(
+    synth, midi_file, seconds: float, mesh: Mesh
+) -> np.ndarray:
+    """The single-launch offline renderer with voices sharded over the mesh.
+
+    The device-side control pass and the audio pass both operate
+    per-voice, so every (..., P) plane shards on its voice axis; channel
+    tables, the block->snapshot map, and the wavetable replicate. The
+    only collective is one psum of the final (T, 2) stereo mix.
+
+    Returns a host float32 array (samples, 2).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from pygmu2_tpu.soundfont import offline as off
+
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    if synth.maximum_polyphony % n_dev != 0:
+        raise ValueError(
+            f"maximum_polyphony ({synth.maximum_polyphony}) must divide by "
+            f"the mesh size ({n_dev})"
+        )
+
+    par_np, ch_np, snap_idx, _nb = synth.build_schedule(midi_file, seconds)
+    pf32, pi32, pf64, cf32, chold, flags = off._pack_schedule(par_np, ch_np)
+    N = synth.block_size
+    min_dur = int(synth._minimum_voice_duration)
+    sr = float(synth.sample_rate)
+    master = float(synth.master_volume)
+
+    def shard_fn(pf32, pi32, pf64, cf32, chold, snap, wave):
+        ctrl = off._control_device(
+            pf32, pi32, pf64, cf32, chold, snap, N, flags, min_dur, sr
+        )
+        out = off._audio_pass(ctrl, wave, N, master)  # local voices only
+        return jax.lax.psum(out, axis)
+
+    vspec = P(None, None, axis)  # (F, NS, P) stacks shard on voices
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(vspec, vspec, vspec, P(), P(), P(), P()),
+            out_specs=P(),
+        )
+    )
+    out = fn(pf32, pi32, pf64, cf32, chold, jnp.asarray(snap_idx), synth._wave)
+    total = int(round(seconds * synth.sample_rate))
+    synth.reset()
+    return np.asarray(out)[:total]

@@ -88,3 +88,49 @@ class TestVoiceSharded:
         sharded = render_midi_sharded(synth2, MidiFile(midi_bytes), 1.0, mesh)
 
         np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_offline_sharded_matches(self):
+        import struct
+
+        from pygmu2_tpu.parallel.render import render_midi_offline_sharded
+        from pygmu2_tpu.soundfont import (
+            MidiFile,
+            SoundFont,
+            Synthesizer,
+            SynthesizerSettings,
+        )
+        from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
+        from pygmu2_tpu.soundfont.offline import render_midi_offline
+
+        font_bytes = build_sf2(
+            [{"data": make_looped_sample(261.63), "rate": 44100,
+              "root_key": 60, "loop": True}]
+        )
+
+        def varint(v):
+            out = [v & 0x7F]
+            v >>= 7
+            while v:
+                out.append(0x80 | (v & 0x7F))
+                v >>= 7
+            return bytes(reversed(out))
+
+        res = 480
+        body = b""
+        for k in (60, 64, 67):
+            body += varint(0) + bytes([0x90, k, 100])
+        body += varint(res) + bytes([0x80, 60, 0])
+        body += varint(0) + b"\xff\x2f\x00"
+        midi_bytes = (
+            b"MThd" + struct.pack(">ihhh", 6, 0, 1, res)
+            + b"MTrk" + struct.pack(">i", len(body)) + body
+        )
+
+        mk = lambda: Synthesizer(
+            SoundFont(font_bytes),
+            SynthesizerSettings(block_size=128, maximum_polyphony=16),
+        )
+        single = render_midi_offline(mk(), MidiFile(midi_bytes), 0.6)
+        mesh = default_mesh(8, axis="v")
+        sharded = render_midi_offline_sharded(mk(), MidiFile(midi_bytes), 0.6, mesh)
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
