@@ -26,7 +26,7 @@ Channel, envelopes, LFOs, Oscillator, BiQuadFilter). The redesign:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import numpy as np
 
@@ -316,6 +316,7 @@ class Synthesizer:
     _PERCUSSION_CHANNEL = 9
 
     def __init__(self, sound_font, settings: SynthesizerSettings | None = None):
+        self._vp_cache = {}
         if isinstance(sound_font, str):
             sound_font = SoundFont.from_file(sound_font)
         if settings is None:
@@ -477,10 +478,19 @@ class Synthesizer:
             if preset_region.contains(key, velocity):
                 for inst_region in preset_region.instrument.regions:
                     if inst_region.contains(key, velocity):
-                        pair = RegionPair(preset_region, inst_region)
-                        params = resolve_voice_params(
-                            pair, channel, key, velocity, self._sample_rate
-                        )
+                        # Generator resolution is pure in (regions, key,
+                        # velocity); notes repeat constantly, so memoize
+                        # (channel is only *stored* in the result).
+                        ck = (id(preset_region), id(inst_region), key, velocity)
+                        params = self._vp_cache.get(ck)
+                        if params is None:
+                            pair = RegionPair(preset_region, inst_region)
+                            params = resolve_voice_params(
+                                pair, channel, key, velocity, self._sample_rate
+                            )
+                            self._vp_cache[ck] = params
+                        if params.channel != channel:
+                            params = replace(params, channel=channel)
                         slot = self._allocate_slot(params)
                         self._write_slot(slot, params)
 
