@@ -221,7 +221,10 @@ class AdsrGatedPE(_AdsrBase):
         gate = ctx.pull(self._gate)[:, 0]
         init = {
             "stage": jnp.asarray(_IDLE, jnp.int32),
-            "env": jnp.asarray(0.0, prec.AUDIO),
+            # env accumulates per-sample slopes for seconds at a time; the
+            # reference does this in python float64 — carry f64 (scalar) to
+            # match within 1e-7 (f32 drifts ~3e-4 over long segments).
+            "env": jnp.asarray(0.0, prec.WIDE),
             "prev_gate": jnp.asarray(0.0, prec.AUDIO),
         }
         st, _ = ctx.state(self, init=init)
@@ -285,7 +288,7 @@ class AdsrTriggeredPE(_AdsrBase):
         t = ctx.times()
         init = {
             "stage": jnp.asarray(_IDLE, jnp.int32),
-            "env": jnp.asarray(0.0, prec.AUDIO),
+            "env": jnp.asarray(0.0, prec.WIDE),  # see AdsrGatedPE note
             "sustain_ends_at": jnp.asarray(0, prec.INDEX),
         }
         st, _ = ctx.state(self, init=init)
