@@ -447,3 +447,58 @@ def render_scan(root, start: int, total: int, block: int):
         out = out0[:total]
     _scatter_states(root, states)
     return out
+
+
+# ---- checkpoint / resume -------------------------------------------------
+#
+# Every impure PE's carried state lives in the explicit state pytree the
+# programs thread between blocks (the TPU analog of the reference's
+# per-instance attributes: biquad zi, ConvolvePE._tail, TimeWarpPE._pos,
+# SinePE._accumulated_phase — SURVEY §5 "Checkpoint / resume"). Snapshots
+# are keyed structurally (walk order + class name), so they restore onto
+# a *rebuilt* graph of the same shape, not just the same objects.
+
+
+def _structural_keys(root) -> dict:
+    return {
+        f"pe{pe._uid}": f"{i}:{type(pe).__name__}"
+        for i, pe in enumerate(_walk(root))
+    }
+
+
+def checkpoint_state(root) -> dict:
+    """Snapshot the graph's carried render state as host numpy arrays.
+
+    The result is a plain (pickle-able) dict; pass it to
+    ``restore_state`` on an equivalently-shaped graph to resume
+    rendering mid-timeline.
+    """
+    import numpy as np
+
+    states = _gather_states(root) or {}
+    remap = _structural_keys(root)
+    return {
+        remap[k]: jax.tree_util.tree_map(np.asarray, v)
+        for k, v in states.items()
+    }
+
+
+def restore_state(root, snapshot: dict) -> None:
+    """Restore a ``checkpoint_state`` snapshot onto ``root``'s graph.
+
+    The graph must have the same structure (same PE classes in the same
+    walk order) as the one the snapshot was taken from.
+    """
+    reset_graph_states(root)
+    if not snapshot:
+        return
+    inv = {s: u for u, s in _structural_keys(root).items()}
+    unknown = set(snapshot) - set(inv)
+    if unknown:
+        raise ValueError(
+            f"snapshot does not match this graph's structure: {sorted(unknown)}"
+        )
+    _scatter_states(
+        root,
+        {inv[k]: jax.tree_util.tree_map(jnp.asarray, v) for k, v in snapshot.items()},
+    )
