@@ -76,9 +76,24 @@ def main():
     )
     midi = simple_chord_midi(MidiFile)
     seconds = 3.0
-    print(f"backend={jax.default_backend()}  simple_chord {seconds}s")
-    print(f"{'block':>6} {'mean ms':>9} {'min ms':>9} {'xRT':>9}")
+    from pygmu2_tpu.soundfont.offline import render_midi_offline
+
+    print(f"backend={jax.default_backend()}  simple_chord {seconds}s "
+          f"(reference vectorized: 242.5 ms mean / 12.37x RT on CPU)")
+    print(f"{'path':>22} {'block':>6} {'mean ms':>9} {'min ms':>9} {'xRT':>9}")
     for block in (64, 256, 1024):
+        synth = Synthesizer(font, SynthesizerSettings(block_size=block))
+        out = render_midi_offline(synth, midi, seconds)
+        assert np.isfinite(out).all()
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            render_midi_offline(synth, midi, seconds)
+            times.append((time.perf_counter() - t0) * 1e3)
+        mean = sum(times) / len(times)
+        print(f"{'offline single-launch':>22} {block:>6} {mean:>9.1f} "
+              f"{min(times):>9.1f} {seconds / (min(times)/1e3):>9.1f}")
+    for block in (1024,):
         synth = Synthesizer(font, SynthesizerSettings(block_size=block))
         out = synth.render_midi_schedule(midi, seconds)
         assert np.isfinite(out).all()
@@ -88,7 +103,8 @@ def main():
             synth.render_midi_schedule(midi, seconds)
             times.append((time.perf_counter() - t0) * 1e3)
         mean = sum(times) / len(times)
-        print(f"{block:>6} {mean:>9.1f} {min(times):>9.1f} {seconds / (min(times)/1e3):>9.1f}")
+        print(f"{'scanned per-block':>22} {block:>6} {mean:>9.1f} "
+              f"{min(times):>9.1f} {seconds / (min(times)/1e3):>9.1f}")
     return 0
 
 
