@@ -804,7 +804,9 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
     ch["ch_hold"] = chold[snap_idx]
     chan = pari["channel"]
     par["release_req"] = pari["release_req"]  # int compare below
-    b_idx = jnp.arange(B, dtype=jnp.int64)[:, None]
+    # int32 throughout: block indices / voice times fit comfortably and
+    # int64 arithmetic is software-emulated on TPU.
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     def chv(name):
         return jnp.take_along_axis(ch[name], chan, axis=1)
@@ -815,8 +817,9 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
     )
     seg_start = jax.lax.cummax(jnp.where(fresh, b_idx, -1), axis=0)
     vt = (b_idx - seg_start) * N
-    t_now = (vt / sr).astype(jnp.float32)
-    t_end = ((vt + N) / sr).astype(jnp.float32)
+    # divide in f64 then round, matching the numpy control pass bit-for-bit
+    t_now = (vt.astype(jnp.float64) / sr).astype(jnp.float32)
+    t_end = ((vt + N).astype(jnp.float64) / sr).astype(jnp.float32)
 
     def seg_gather(arr):
         return jnp.take_along_axis(arr, seg_start, axis=0)

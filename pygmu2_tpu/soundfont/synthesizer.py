@@ -520,6 +520,11 @@ class Synthesizer:
         for ch in self._channels:
             ch.reset_all_controllers()
 
+    def reset_all_controllers_channel(self, channel):
+        """Reference: synth/synthesizer.py:178."""
+        if 0 <= channel < len(self._channels):
+            self._channels[channel].reset_all_controllers()
+
     def reset(self):
         self._kill_all()
         for ch in self._channels:
