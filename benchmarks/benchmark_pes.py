@@ -111,9 +111,11 @@ def main():
             _np.asarray(out)
             times = []
             for _ in range(args.runs):
-                pe2 = build()
+                # Reuse the same instance: re-rendering from 0 is a
+                # non-contiguous request, so the engine auto-resets the
+                # carried state; rebuilding would re-trace per run.
                 t0 = time.perf_counter()
-                out = engine.render_scan(pe2, 0, total, 16384)
+                out = engine.render_scan(pe, 0, total, 16384)
                 _np.asarray(out)  # render-to-host is the real workload
                 times.append((time.perf_counter() - t0) * 1e3)
             mean = statistics.mean(times)
