@@ -23,6 +23,7 @@ GEN_SUSTAIN_VOL = 37
 GEN_RELEASE_VOL = 38
 GEN_INSTRUMENT = 41
 GEN_KEY_RANGE = 43
+GEN_EXCLUSIVE_CLASS = 57
 GEN_VEL_RANGE = 44
 GEN_INITIAL_ATTEN = 48
 GEN_SAMPLE_ID = 53
@@ -135,6 +136,7 @@ def build_sf2(
             (GEN_SUSTAIN_VOL, "sustain_cb"),
             (GEN_FILTER_CUTOFF, "cutoff_cents"),
             (GEN_PAN, "pan"),
+            (GEN_EXCLUSIVE_CLASS, "exclusive_class"),
         ]:
             if key in s:
                 gens.append((gen_id, s[key]))

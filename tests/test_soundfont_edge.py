@@ -1,0 +1,88 @@
+"""Synth edge behaviors: hold pedal, voice stealing, exclusive class,
+percussion bank. Each compared offline vs scanned (the two engines are
+independent implementations of the same voice semantics).
+(reference: synth/synthesizer.py note_on/note_off, channel hold_pedal;
+synth/voice_collection.py stealing; region exclusive_class)"""
+
+import numpy as np
+
+from pygmu2_tpu.soundfont import (
+    MidiFile,
+    SoundFont,
+    Synthesizer,
+    SynthesizerSettings,
+)
+from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
+from pygmu2_tpu.soundfont.offline import render_midi_offline
+from tests.test_soundfont import build_midi
+
+SR = 44100
+
+
+def _both(font_bytes, events, seconds, block=64, poly=8, atol=2e-5):
+    midi = MidiFile(build_midi(events))
+    s1 = Synthesizer(
+        SoundFont(font_bytes),
+        SynthesizerSettings(block_size=block, maximum_polyphony=poly),
+    )
+    scanned = s1.render_midi_schedule(midi, seconds)
+    s2 = Synthesizer(
+        SoundFont(font_bytes),
+        SynthesizerSettings(block_size=block, maximum_polyphony=poly),
+    )
+    offline = render_midi_offline(s2, midi, seconds)
+    np.testing.assert_allclose(offline, scanned, atol=atol)
+    return scanned
+
+
+def _font(**kw):
+    spec = {"data": make_looped_sample(261.63, harmonics=3), "rate": 44100,
+            "root_key": 60, "loop": True, "release_tc": -3000}
+    spec.update(kw)
+    return build_sf2([spec])
+
+
+def test_hold_pedal_sustains_past_note_off():
+    font = _font()
+    events = [
+        (0.0, 0xB0, 64, 127),   # sustain pedal down
+        (0.05, 0x90, 60, 100),
+        (0.2, 0x80, 60, 0),     # note off while held -> keeps sounding
+        (0.6, 0xB0, 64, 0),     # pedal up -> release begins
+    ]
+    out = _both(font, events, 1.0)
+    # audible well after the note-off because the pedal held it
+    seg = out[int(0.4 * SR): int(0.5 * SR)]
+    assert np.abs(seg).max() > 1e-3
+    # decayed after pedal release + release time
+    tail = out[int(0.95 * SR):]
+    assert np.abs(tail).max() < np.abs(seg).max()
+
+
+def test_voice_stealing_over_polyphony():
+    font = _font()
+    # 12 notes into 8 voices: 4 get stolen; engines must agree exactly
+    events = [(0.01 * k, 0x90, 48 + k, 100) for k in range(12)]
+    out = _both(font, events, 0.5, poly=8)
+    assert np.abs(out).max() > 1e-3
+
+
+def test_exclusive_class_chokes_previous_note():
+    font = _font(exclusive_class=1)
+    events = [
+        (0.0, 0x90, 60, 100),
+        (0.25, 0x90, 67, 100),  # same exclusive class -> chokes key 60
+    ]
+    out = _both(font, events, 0.6)
+    assert np.abs(out).max() > 1e-3
+
+
+def test_percussion_channel_uses_bank_128():
+    font = build_sf2([
+        {"data": make_looped_sample(200.0, harmonics=2), "rate": 44100,
+         "root_key": 60, "loop": True, "bank": 128, "patch": 0},
+    ])
+    # channel 9 is percussion: its default bank is 128
+    events = [(0.0, 0x99, 60, 100)]
+    out = _both(font, events, 0.3)
+    assert np.abs(out).max() > 1e-3
