@@ -787,12 +787,17 @@ class Synthesizer:
         off_int = jnp.floor(offset)
         frac = offset - off_int
         abs_idx = base_int[:, None] + off_int.astype(jnp.int32)  # (P, N)
-        # Loop wrap in integer math.
-        wrapped_idx = (
-            jnp.mod(abs_idx - loop_start_i[:, None], loop_len_i[:, None])
-            + loop_start_i[:, None]
-        )
-        idx_eff = jnp.where(looping[:, None], wrapped_idx, abs_idx)
+        # Loop wrap WITHOUT integer mod (int32 division is software-
+        # emulated on TPU): the position is pre-wrapped into the loop, so
+        # phi >= 0 and bounded; multiply by the reciprocal and correct
+        # the ±1 ulp cases exactly in integer math (same as offline.py).
+        phi = abs_idx - loop_start_i[:, None]
+        inv_ll = (1.0 / loop_len_i.astype(jnp.float32))[:, None]
+        kq = jnp.floor(phi.astype(jnp.float32) * inv_ll).astype(jnp.int32)
+        wr = phi - kq * loop_len_i[:, None]
+        wr = jnp.where(wr < 0, wr + loop_len_i[:, None], wr)
+        wr = jnp.where(wr >= loop_len_i[:, None], wr - loop_len_i[:, None], wr)
+        idx_eff = jnp.where(looping[:, None], loop_start_i[:, None] + wr, abs_idx)
         W = wave.shape[0]
         i0 = jnp.clip(idx_eff, 0, W - 2)
         i1 = i0 + 1
@@ -802,7 +807,14 @@ class Synthesizer:
             loop_start_i[:, None].astype(jnp.int32),
             i1,
         )
-        smp = (1.0 - frac) * wave[i0] + frac * wave[i1]
+        # Exact lookups via the one-hot contraction (ops.table) — direct
+        # scalar gathers cost ~7 ns/element on TPU and dominated each
+        # scanned block (~0.9 ms of the per-block budget).
+        from pygmu2_tpu.ops.table import table_lookup
+
+        w0 = table_lookup(wave, i0)
+        w1 = table_lookup(wave, i1)
+        smp = (1.0 - frac) * w0 + frac * w1
         valid = looping[:, None] | (
             abs_idx < par["smp_end"].astype(jnp.int32)[:, None]
         )
