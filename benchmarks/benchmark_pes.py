@@ -102,6 +102,11 @@ def main():
         try:
             pe = build()
             out = engine.render_scan(pe, 0, total, 16384)  # warm-up/compile
+            # second warm-up: the first call compiled the stateless
+            # first-block program; a re-render from 0 compiles the
+            # carried-state step/scan variant, which would otherwise
+            # pollute the first timed run.
+            out = engine.render_scan(pe, 0, total, 16384)
             # Force a device->host transfer before timing: on remote
             # targets block_until_ready() alone returns at enqueue until
             # the process has performed one D2H (see OPTIMIZING.md 1b),

@@ -126,7 +126,7 @@ class EnvelopePE(ProcessingElement):
                 nxt = env + coeff * (xi - env)
                 return nxt, nxt
 
-            _, y = jax.lax.scan(step, env0, x)
+            _, y = jax.lax.scan(step, env0, x, unroll=32)
         ctx.set_state(self, y[-1])
         return y.astype(prec.AUDIO)
 
@@ -242,7 +242,7 @@ class AdsrGatedPE(_AdsrBase):
             stage, env = self._segment_step(stage, carry["env"], sus)
             return {"stage": stage, "env": env, "prev_gate": g}, out
 
-        final, out = jax.lax.scan(step, st, gate)
+        final, out = jax.lax.scan(step, st, gate, unroll=32)
         ctx.set_state(self, final)
         return out.astype(prec.AUDIO)[:, None]
 
@@ -308,7 +308,7 @@ class AdsrTriggeredPE(_AdsrBase):
             stage2 = jnp.where(expire, _RELEASE, stage2).astype(jnp.int32)
             return {"stage": stage2, "env": env, "sustain_ends_at": ends}, out
 
-        final, out = jax.lax.scan(step, st, (trig, t))
+        final, out = jax.lax.scan(step, st, (trig, t), unroll=32)
         ctx.set_state(self, final)
         return out.astype(prec.AUDIO)[:, None]
 

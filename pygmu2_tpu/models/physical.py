@@ -156,11 +156,13 @@ class LadderPE(ProcessingElement):
         drv = jnp.clip(ctx.param(self._drive, dtype=prec.AUDIO), 0.0, 4.0)
         drive_scaled = jnp.where(drv > 1.0, 1.0 + (drv - 1.0) * (1.0 - pbg), drv)
 
+        # State as SEPARATE per-stage (C,) arrays: a (C, 4) carrier would
+        # tile-pad the 4 and force 8 dynamic-update-slices per sample.
         st, _ = ctx.state(
             self,
             init=lambda: {
-                "z0": jnp.zeros((C, 4), prec.AUDIO),
-                "z1": jnp.zeros((C, 4), prec.AUDIO),
+                "z0": tuple(jnp.zeros((C,), prec.AUDIO) for _ in range(4)),
+                "z1": tuple(jnp.zeros((C,), prec.AUDIO) for _ in range(4)),
                 "old": jnp.zeros((C,), prec.AUDIO),
             },
         )
@@ -181,31 +183,33 @@ class LadderPE(ProcessingElement):
             return u + s2 - s1 * 2.0
 
         def step(carry, inp):
-            z0, z1, old = carry["z0"], carry["z1"], carry["old"]
+            z0 = list(carry["z0"])
+            z1 = list(carry["z1"])
+            old = carry["old"]
             xi, al, qa, ki, dsc = inp
             input_sample = xi * dsc  # (C,)
             quiet = jnp.abs(input_sample) < self._INPUT_THRESHOLD
             decay = jnp.where(quiet, self._STATE_DECAY, 1.0)
-            z0 = z0 * decay[:, None]
-            z1 = z1 * decay[:, None]
+            z0 = [z * decay for z in z0]
+            z1 = [z * decay for z in z1]
             old = old * decay
 
             total = jnp.zeros_like(input_sample)
             for s_idx in range(os_n):
                 interp = s_idx * os_recip
                 in_i = interp * old + (1.0 - interp) * input_sample
-                u = jnp.tanh(in_i - (z1[:, 3] - pbg * in_i) * ki * qa)
+                u = jnp.tanh(in_i - (z1[3] - pbg * in_i) * ki * qa)
                 stages = []
                 prev = u
                 for st_i in range(4):
-                    ft = prev * 0.76923077 + 0.23076923 * z0[:, st_i] - z1[:, st_i]
-                    ft = ft * al + z1[:, st_i]
-                    z1 = z1.at[:, st_i].set(ft)
-                    z0 = z0.at[:, st_i].set(prev)
+                    ft = prev * 0.76923077 + 0.23076923 * z0[st_i] - z1[st_i]
+                    ft = ft * al + z1[st_i]
+                    z1[st_i] = ft
+                    z0[st_i] = prev
                     stages.append(ft)
                     prev = ft
                 total = total + mode_mix(u, *stages) * os_recip
-            new_carry = {"z0": z0, "z1": z1, "old": input_sample}
+            new_carry = {"z0": tuple(z0), "z1": tuple(z1), "old": input_sample}
             return new_carry, total
 
         xs = (
@@ -215,7 +219,7 @@ class LadderPE(ProcessingElement):
             jnp.broadcast_to(k[:, None], (T, 1)),
             jnp.broadcast_to(drive_scaled[:, None], (T, 1)),
         )
-        final, y = jax.lax.scan(step, st, xs)
+        final, y = jax.lax.scan(step, st, xs, unroll=32)
         ctx.set_state(self, final)
         return y.astype(prec.AUDIO)
 
@@ -316,7 +320,7 @@ class CombPE(ProcessingElement):
             pos = jnp.mod(pos + 1, L)
             return {"buf": buf, "pos": pos, "sf": sf}, out
 
-        final, y = jax.lax.scan(step, st, (x, freq, fb))
+        final, y = jax.lax.scan(step, st, (x, freq, fb), unroll=32)
         ctx.set_state(self, final)
         return y.astype(prec.AUDIO)
 
@@ -427,7 +431,7 @@ class KarplusStrongPE(SourcePE):
             )
             return carry, jnp.where(act, ap_out, 0.0)
 
-        final, y = jax.lax.scan(step, st, (rho_t, active))
+        final, y = jax.lax.scan(step, st, (rho_t, active), unroll=32)
         ctx.set_state(self, final)
         out = y.astype(prec.AUDIO)[:, None]
         if self._channels > 1:

@@ -263,7 +263,7 @@ class ReversePitchEchoPE(ProcessingElement):
             }
             return new, wet
 
-        final, y = jax.lax.scan(step, st, (x, block_v, pitch_v, fb_v, alt_v))
+        final, y = jax.lax.scan(step, st, (x, block_v, pitch_v, fb_v, alt_v), unroll=32)
         ctx.set_state(self, final)
         return y.astype(prec.AUDIO)
 
