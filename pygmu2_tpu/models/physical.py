@@ -212,6 +212,29 @@ class LadderPE(ProcessingElement):
             new_carry = {"z0": tuple(z0), "z1": tuple(z1), "old": input_sample}
             return new_carry, total
 
+        if jax.default_backend() == "tpu" and C <= 128:
+            # sequential Mosaic kernel: ~280 ns/sample vs ~2.4 us/sample
+            # for the unrolled lax.scan (ops/ladder_pallas.py)
+            from pygmu2_tpu.ops.ladder_pallas import ladder_scan_pallas
+
+            st9 = jnp.concatenate(
+                [jnp.stack(st["z0"]), jnp.stack(st["z1"]), st["old"][None]], 0
+            )
+            bb = lambda a: jnp.broadcast_to(a, (T,)).astype(jnp.float32)
+            y, new9 = ladder_scan_pallas(
+                x, bb(alpha), bb(q_adjust), bb(k), bb(drive_scaled), st9,
+                os_n=os_n, pbg=float(pbg), mode_index=mode_index,
+                input_threshold=float(self._INPUT_THRESHOLD),
+                state_decay=float(self._STATE_DECAY), chunk=512,
+            )
+            final = {
+                "z0": tuple(new9[i] for i in range(4)),
+                "z1": tuple(new9[4 + i] for i in range(4)),
+                "old": new9[8],
+            }
+            ctx.set_state(self, final)
+            return y.astype(prec.AUDIO)
+
         xs = (
             x,
             jnp.broadcast_to(alpha[:, None], (T, 1)),

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel for the Moog ladder filter (sequential in time).
+
+The ladder's tanh feedback makes it a *nonlinear* per-sample recurrence
+(reference: ladder_pe.py:31-203, a Numba kernel) — it cannot be
+parallelized in time. `lax.scan` pays ~2.4 µs/sample of while-loop
+overhead on TPU even fully unrolled; this kernel runs the same body as
+a Mosaic `fori_loop` over samples with the 9 filter states resident in
+a VMEM scratch register tile, so each sample costs VPU-op time instead
+of loop machinery.
+
+Channels ride the 128 lanes (C is padded up); the grid is sequential
+over time chunks with state carried in scratch. Bit-compatible with the
+`lax.scan` path in models.physical.LadderPE (same op order, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _make_kernel(os_n: int, pbg: float, mode_index: int,
+                 input_threshold: float, state_decay: float, chunk: int,
+                 total_rows: int):
+    os_recip = 1.0 / os_n
+
+    def mode_mix(u, s1, s2, s3, s4):
+        if mode_index == 0:
+            return s4
+        if mode_index == 1:
+            return s2
+        if mode_index == 2:
+            return (s2 + s4) * 4.0 - s3 * 8.0
+        if mode_index == 3:
+            return (s1 - s2) * 2.0
+        if mode_index == 4:
+            return u + s4 - (s1 + s3) * 4.0 + s2 * 6.0
+        return u + s2 - s1 * 2.0
+
+    def kernel(x_ref, al_ref, qa_ref, ki_ref, dsc_ref, st_in_ref,
+               y_ref, st_out_ref, st_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            st_ref[:] = st_in_ref[:]
+
+        def body(j, _):
+            # guard: padded tail rows must not advance the filter state.
+            # All index math pinned to i32 (x64 promotion breaks Mosaic).
+            row = i * jnp.int32(chunk) + j
+
+            @pl.when(row < jnp.int32(total_rows))
+            def _process():
+                _sample(j)
+
+            return jnp.int32(0)
+
+        def _sample(j):
+            xi = x_ref[pl.ds(j, 1), :]          # (1, 128)
+            al = al_ref[pl.ds(j, 1), :]         # (1, 1) broadcasts
+            qa = qa_ref[pl.ds(j, 1), :]
+            ki = ki_ref[pl.ds(j, 1), :]
+            dsc = dsc_ref[pl.ds(j, 1), :]
+
+            input_sample = xi * dsc
+            quiet = jnp.abs(input_sample) < input_threshold
+            # pin to f32: where(bool, weak, weak) makes f64 under x64
+            decay = jnp.where(
+                quiet, jnp.float32(state_decay), jnp.float32(1.0)
+            )
+
+            z0 = [st_ref[pl.ds(k, 1), :] * decay for k in range(4)]
+            z1 = [st_ref[pl.ds(4 + k, 1), :] * decay for k in range(4)]
+            old = st_ref[pl.ds(8, 1), :] * decay
+
+            total = jnp.zeros_like(input_sample)
+            for s_idx in range(os_n):
+                interp = s_idx * os_recip
+                in_i = interp * old + (1.0 - interp) * input_sample
+                u = jnp.tanh(in_i - (z1[3] - pbg * in_i) * ki * qa)
+                stages = []
+                prev = u
+                for st_i in range(4):
+                    ft = prev * 0.76923077 + 0.23076923 * z0[st_i] - z1[st_i]
+                    ft = ft * al + z1[st_i]
+                    z1[st_i] = ft
+                    z0[st_i] = prev
+                    stages.append(ft)
+                    prev = ft
+                total = total + mode_mix(u, *stages) * os_recip
+
+            y_ref[pl.ds(j, 1), :] = total
+            for k in range(4):
+                st_ref[pl.ds(k, 1), :] = z0[k]
+                st_ref[pl.ds(4 + k, 1), :] = z1[k]
+            st_ref[pl.ds(8, 1), :] = input_sample
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body, jnp.int32(0))
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _emit():
+            st_out_ref[:] = st_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("os_n", "pbg", "mode_index", "input_threshold",
+                     "state_decay", "chunk", "interpret"),
+)
+def ladder_scan_pallas(x, al, qa, ki, dsc, state, *, os_n, pbg, mode_index,
+                       input_threshold, state_decay, chunk: int = 512,
+                       interpret: bool = False):
+    """x: (T, C) f32; al/qa/ki/dsc: (T,) f32 per-sample coefficients;
+    state: (9, C) f32 rows = z0[0..3], z1[0..3], old.
+    Returns (y (T, C), new_state (9, C))."""
+    T, C = x.shape
+    assert C <= _LANES
+    padC = _LANES - C
+    Tp = -(-T // chunk) * chunk
+    padT = Tp - T
+
+    def pad2(a):
+        return jnp.pad(a, ((0, padT), (0, padC)))
+
+    xp = pad2(x)
+    colp = lambda a: jnp.pad(a[:, None], ((0, padT), (0, 0)))
+    st = jnp.pad(state, ((0, 0), (0, padC)))
+
+    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
+                       memory_space=pltpu.VMEM)
+    stspec = pl.BlockSpec((9, _LANES), lambda i: (i * 0, i * 0),
+                          memory_space=pltpu.VMEM)
+    y, new_st = pl.pallas_call(
+        _make_kernel(os_n, pbg, mode_index, input_threshold, state_decay,
+                     chunk, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((9, _LANES), jnp.float32),
+        ),
+        grid=(Tp // chunk,),
+        in_specs=[big, col, col, col, col, stspec],
+        out_specs=(big, stspec),
+        scratch_shapes=[pltpu.VMEM((9, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(xp, colp(al), colp(qa), colp(ki), colp(dsc), st)
+    return y[:T, :C], new_st[:, :C]
