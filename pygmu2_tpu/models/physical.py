@@ -329,6 +329,21 @@ class CombPE(ProcessingElement):
         )
         smooth_alpha = 1.0 / self._smoothing_samples
 
+        if jax.default_backend() == "tpu" and C <= 128:
+            # sequential Mosaic kernel with the ring buffer in VMEM
+            # scratch (ops/comb_pallas.py) — lax.scan re-materializes the
+            # whole (L, C) buffer per sample.
+            from pygmu2_tpu.ops.comb_pallas import comb_scan_pallas
+
+            freq_t = jnp.broadcast_to(freq, (T,)).astype(jnp.float32)
+            fb_t = jnp.broadcast_to(fb, (T,)).astype(jnp.float32)
+            y, buf2, pos2, sf2 = comb_scan_pallas(
+                x, freq_t, fb_t, st["buf"], st["pos"], st["sf"],
+                L=L, sr=sr, smooth_alpha=float(smooth_alpha), chunk=512,
+            )
+            ctx.set_state(self, {"buf": buf2, "pos": pos2, "sf": sf2})
+            return y.astype(prec.AUDIO)
+
         def step(carry, inp):
             buf, pos, sf = carry["buf"], carry["pos"], carry["sf"]
             xi, fi, fbi = inp
