@@ -450,6 +450,22 @@ class KarplusStrongPE(SourcePE):
             rho_t = jnp.full((ctx.duration,), self._rho, jnp.float32)
         active = t >= 0  # string exists from t=0; don't advance state before
 
+        if jax.default_backend() == "tpu":
+            # sequential Mosaic kernel (ops/ks_pallas.py)
+            from pygmu2_tpu.ops.ks_pallas import ks_scan_pallas
+
+            y, buf2, r2, ai2, ao2 = ks_scan_pallas(
+                rho_t, active, st["buf"], st["r"], st["ap_in"], st["ap_out"],
+                L=delay_len, allpass_c=float(allpass_c), chunk=512,
+            )
+            ctx.set_state(
+                self, {"buf": buf2, "r": r2, "ap_in": ai2, "ap_out": ao2}
+            )
+            out = y.astype(prec.AUDIO)[:, None]
+            if self._channels > 1:
+                out = jnp.tile(out, (1, self._channels))
+            return out
+
         def step(carry, inp):
             rho_eff, act = inp
             buf, r = carry["buf"], carry["r"]
