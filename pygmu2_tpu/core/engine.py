@@ -310,6 +310,14 @@ class Program:
         self.duration = int(duration)
         self.sample_rate = root.sample_rate
         self._state_nodes: list = []
+        # Host prelude: let PEs materialize host-side caches (e.g.
+        # TralfamPE's one-time spectral scramble) OUTSIDE the trace —
+        # a nested pe.render() inside _trace would inline into the
+        # outer jit as tracers.
+        for pe in _walk(root):
+            prep = getattr(pe, "_prepare_host", None)
+            if prep is not None:
+                prep()
         self._fn_first = jax.jit(self._run_first)
         self._fn_step = jax.jit(self._run_step)
         self._scan_fn = None

@@ -54,6 +54,42 @@ class TralfamPE(ProcessingElement):
     def _compute_extent(self) -> Extent:
         return self._source.extent()
 
+    def _prepare_host(self):
+        """Engine host-prelude hook: build the scramble before tracing."""
+        ext = self._source.extent()
+        if ext.start is not None and ext.end is not None and ext.end > ext.start:
+            self._mogrified_host()
+
+    def _mogrified_host(self):
+        """One-time host-side scramble, cached on the instance.
+
+        The full-length FFT runs ONCE in numpy: XLA's TPU FFT lowers
+        non-power-of-two lengths to a dense (n, n) DFT matmul (31 GB for
+        n = 88200), and re-running it per rendered block is wasted work
+        either way — the scramble is a fixed function of the source.
+        """
+        if getattr(self, "_mog_cache", None) is None:
+            import numpy as np
+
+            from pygmu2_tpu.ops.noise import white_uniform_np
+
+            ext = self._source.extent()
+            n = ext.end - ext.start
+            x = np.asarray(self._source.render(ext.start, n).data)
+            C = x.shape[1]
+            analysis = np.fft.fft(x, axis=0)
+            magnitudes = np.abs(analysis)
+            idx = np.arange(n, dtype=np.int64)[:, None] * C + np.arange(C)
+            phases = (white_uniform_np(idx, seed=self._seed or 0) + 1.0) * np.pi
+            mangled = magnitudes * np.exp(1j * phases)
+            mog = np.real(np.fft.ifft(mangled, axis=0)).astype(np.float32)
+            if self._normalize_peak is not None:
+                peak = np.abs(mog).max()
+                if peak > 0:
+                    mog = mog * (self._normalize_peak / peak)
+            self._mog_cache = jnp.asarray(mog)
+        return self._mog_cache
+
     def _trace(self, ctx):
         ext = self._source.extent()
         if ext.start is None or ext.end is None:
@@ -65,24 +101,7 @@ class TralfamPE(ProcessingElement):
             raise ValueError(
                 f"{type(self).__name__} requires positive extent duration"
             )
-        frames = ctx.pull_abs(self._source, ext.start, n)  # (n, C)
-        C = frames.shape[1]
-
-        analysis = jnp.fft.fft(frames, axis=0)
-        magnitudes = jnp.abs(analysis)
-        # Random phase per (bin, channel), uniform [0, 2π).
-        idx = jnp.arange(n, dtype=prec.INDEX)[:, None] * C + jnp.arange(
-            C, dtype=prec.INDEX
-        )
-        phases = (white_uniform(idx, seed=self._seed or 0) + 1.0) * jnp.pi
-        mangled = magnitudes * jnp.exp(1j * phases)
-        mogrified = jnp.real(jnp.fft.ifft(mangled, axis=0)).astype(prec.AUDIO)
-        if self._normalize_peak is not None:
-            peak = jnp.max(jnp.abs(mogrified))
-            mogrified = jnp.where(
-                peak > 0, mogrified * (self._normalize_peak / peak), mogrified
-            )
-
+        mogrified = self._mogrified_host()
         t = ctx.times()
         pos = jnp.clip(t - ext.start, 0, n - 1).astype(jnp.int32)
         # Engine masks outside the extent.

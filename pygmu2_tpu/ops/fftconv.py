@@ -9,6 +9,7 @@ one batched rfft — no sequential dependency.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -35,6 +36,23 @@ def framed_conv(x_window, h, out_len: int, nfft: int | None = None):
     L = h.shape[0]
     tail = L - 1
     C = x_window.shape[1]
+
+    if jax.default_backend() == "tpu":
+        # XLA's TPU FFT lowers to dense DFT matmuls (a (4096,)-batch
+        # rfft+irfft measured 11 ms; non-pow2 sizes try to materialize
+        # an (N, N) matrix). The MXU has a native convolution path that
+        # is both faster and exact — use it on TPU.
+        hrev = h[::-1]  # cross-correlation with reversed taps == conv
+        if h.shape[1] == 1 and C > 1:
+            hrev = jnp.broadcast_to(hrev, (L, C))
+        lhs = x_window.T[None].astype(jnp.float32)        # (1, C, W)
+        rhs = hrev.T[:, None, :].astype(jnp.float32)      # (C, 1, L)
+        y = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding="VALID",
+            feature_group_count=C,
+        )[0].T  # (W - L + 1, C) == (out_len, C)
+        return y[:out_len].astype(jnp.float32)
+
     if nfft is None:
         nfft = next_pow2(max(2048, L))
     hop = nfft - tail
