@@ -72,7 +72,10 @@ class ConvolvePE(ProcessingElement):
 
     @property
     def fft_size(self) -> int | None:
-        return self._fft_size_arg or _next_pow2(max(2048, self._fir_len))
+        # 2x the FIR keeps the overlap-save hop >= fir_len + 1 (the
+        # reference's max(2048, L) default degenerates to hop == 1 when
+        # L is a power of two; reference: convolve_pe.py:226-231)
+        return self._fft_size_arg or _next_pow2(max(2048, 2 * self._fir_len))
 
     @staticmethod
     def ir_energy_norm(filter_pe: ProcessingElement) -> float:

@@ -37,24 +37,12 @@ def framed_conv(x_window, h, out_len: int, nfft: int | None = None):
     tail = L - 1
     C = x_window.shape[1]
 
-    if jax.default_backend() == "tpu":
-        # XLA's TPU FFT lowers to dense DFT matmuls (a (4096,)-batch
-        # rfft+irfft measured 11 ms; non-pow2 sizes try to materialize
-        # an (N, N) matrix). The MXU has a native convolution path that
-        # is both faster and exact — use it on TPU.
-        hrev = h[::-1]  # cross-correlation with reversed taps == conv
-        if h.shape[1] == 1 and C > 1:
-            hrev = jnp.broadcast_to(hrev, (L, C))
-        lhs = x_window.T[None].astype(jnp.float32)        # (1, C, W)
-        rhs = hrev.T[:, None, :].astype(jnp.float32)      # (C, 1, L)
-        y = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1,), padding="VALID",
-            feature_group_count=C,
-        )[0].T  # (W - L + 1, C) == (out_len, C)
-        return y[:out_len].astype(jnp.float32)
-
     if nfft is None:
-        nfft = next_pow2(max(2048, L))
+        # 2L, not L: nfft == next_pow2(L) degenerates to hop == 1 when L
+        # is a power of two (16k single-sample frames for a 2048-tap FIR
+        # — measured 313 ms vs 13 ms). Output is identical for any
+        # nfft >= L; this only picks a sane hop.
+        nfft = next_pow2(max(2048, 2 * L))
     hop = nfft - tail
     n_frames = -(-out_len // hop)
 
@@ -63,14 +51,19 @@ def framed_conv(x_window, h, out_len: int, nfft: int | None = None):
         [x_window, jnp.zeros((pad, C), x_window.dtype)], axis=0
     )
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
-    frames = xp[idx]  # (n_frames, nfft, C)
+    # (n_frames, C, nfft): the FFT axis MUST be minor — on TPU a
+    # middle-axis FFT over a trailing singleton channel dim gets
+    # tile-padded 128x and ran ~30x slower.
+    frames = jnp.transpose(xp[idx], (0, 2, 1))
 
-    H = jnp.fft.rfft(h, n=nfft, axis=0)  # (bins, hC)
-    X = jnp.fft.rfft(frames, axis=1)
+    H = jnp.fft.rfft(h.T, n=nfft, axis=-1)  # (hC, bins)
+    X = jnp.fft.rfft(frames, axis=-1)       # (n_frames, C, bins)
     if h.shape[1] == 1:
-        Y = X * H[None, :, 0:1]
+        Y = X * H[None, 0:1, :]
     else:
         Y = X * H[None]
-    y = jnp.fft.irfft(Y, n=nfft, axis=1)
-    valid = y[:, tail : tail + hop, :].reshape(n_frames * hop, -1)
+    y = jnp.fft.irfft(Y, n=nfft, axis=-1)   # (n_frames, C, nfft)
+    valid = jnp.transpose(y[:, :, tail : tail + hop], (0, 2, 1)).reshape(
+        n_frames * hop, -1
+    )
     return valid[:out_len].astype(jnp.float32)
