@@ -93,6 +93,14 @@ class ReversePitchEchoPE(ProcessingElement):
     def channel_count(self) -> int | None:
         return self._source.channel_count()
 
+    def _fills_own_edges(self) -> bool:
+        # The echo rings past the source extent (feedback + the replayed
+        # previous block); the reference produces this tail because it
+        # never clips to extent (reverse_pitch_echo_pe.py renders from
+        # carried buffers regardless of extent). Opt out of the engine's
+        # central zero-fill so the tail survives.
+        return True
+
     def _compute_extent(self) -> Extent:
         ext = self._source.extent()
         for p in (

@@ -129,3 +129,28 @@ class TestLoopParity:
         ours = pg.LoopPE(pg.ArrayPE(arr), loop_start=0, loop_end=777)
         theirs = ref.LoopPE(ref.ArrayPE(arr), loop_start=0, loop_end=777)
         _render_pair(ours, theirs, 10_000, 4096)
+
+
+@needs_ref
+class TestReverseEchoParity:
+    def _pair(self, **kw):
+        sig = np.zeros((1500, 1), np.float32)
+        rng = np.random.default_rng(4)
+        sig[:1200] = rng.standard_normal((1200, 1)).astype(np.float32) * 0.3
+        return (
+            pg.ReversePitchEchoPE(pg.ArrayPE(sig), **kw),
+            ref.ReversePitchEchoPE(ref.ArrayPE(sig), **kw),
+        )
+
+    def test_unity_pitch(self):
+        ours, theirs = self._pair(
+            block_seconds=0.01, pitch_ratio=1.0, feedback=0.5
+        )
+        _render_pair(ours, theirs, 0, 3000)
+
+    def test_shifted_pitch_alternating(self):
+        ours, theirs = self._pair(
+            block_seconds=0.012, pitch_ratio=1.5, feedback=0.4,
+            alternate_direction=1.0,
+        )
+        _render_pair(ours, theirs, 0, 3000, atol=2e-4)
