@@ -70,6 +70,13 @@ class EnvelopePE(ProcessingElement):
     def mode(self) -> DetectionMode:
         return self._mode
 
+    def _fills_own_edges(self) -> bool:
+        # IIR state rings past the source extent; the reference keeps
+        # filtering the zero-padded input through its carried state
+        # instead of clipping at the extent, so the decay tail is
+        # audible. Opt out of the engine's central zero-fill.
+        return True
+
     def inputs(self) -> list[ProcessingElement]:
         return [self._source]
 

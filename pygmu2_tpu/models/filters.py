@@ -41,6 +41,13 @@ class _FreqQFilterPE(ProcessingElement):
         self._freq_is_pe = isinstance(frequency, ProcessingElement)
         self._q_is_pe = isinstance(q, ProcessingElement)
 
+    def _fills_own_edges(self) -> bool:
+        # IIR state rings past the source extent; the reference keeps
+        # filtering the zero-padded input through its carried state
+        # instead of clipping at the extent, so the decay tail is
+        # audible. Opt out of the engine's central zero-fill.
+        return True
+
     @property
     def source(self) -> ProcessingElement:
         return self._source

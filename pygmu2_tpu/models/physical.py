@@ -114,6 +114,13 @@ class LadderPE(ProcessingElement):
     def oversample(self) -> int:
         return self._oversample
 
+    def _fills_own_edges(self) -> bool:
+        # IIR state rings past the source extent; the reference keeps
+        # filtering the zero-padded input through its carried state
+        # instead of clipping at the extent, so the decay tail is
+        # audible. Opt out of the engine's central zero-fill.
+        return True
+
     def inputs(self) -> list[ProcessingElement]:
         out = [self._source]
         for p in (self._frequency, self._resonance, self._drive):
@@ -283,6 +290,13 @@ class CombPE(ProcessingElement):
     @property
     def feedback(self):
         return self._feedback
+
+    def _fills_own_edges(self) -> bool:
+        # IIR state rings past the source extent; the reference keeps
+        # filtering the zero-padded input through its carried state
+        # instead of clipping at the extent, so the decay tail is
+        # audible. Opt out of the engine's central zero-fill.
+        return True
 
     def inputs(self) -> list[ProcessingElement]:
         out = [self._source]

@@ -154,3 +154,34 @@ class TestReverseEchoParity:
             alternate_direction=1.0,
         )
         _render_pair(ours, theirs, 0, 3000, atol=2e-4)
+
+
+@needs_ref
+class TestFilterTailParity:
+    """Stateful filters ring past the source extent in the reference
+    (carried IIR state filtering the zero-fill); ours must too."""
+
+    def test_biquad_tail(self):
+        rng = np.random.default_rng(9)
+        sig = rng.standard_normal((1000, 1)).astype(np.float32)
+        ours = pg.BiquadPE(pg.ArrayPE(sig), 300.0, 8.0)  # high-Q rings
+        theirs = ref.BiquadPE(ref.ArrayPE(sig), 300.0, 8.0)
+        got = ours.render(0, 2000).data
+        want = theirs.render(0, 2000).data
+        # NB atol 5e-3 here, not the usual 1e-4: at Q=8 the resonance
+        # amplifies the f32-scan vs f64-lfilter rounding into ~2e-3
+        # drift. The moderate-Q parity tests in test_filters.py hold the
+        # 1e-4 budget; this test is about the post-extent decay tail.
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        assert np.abs(want[1000:1100]).max() > 1e-4  # the tail is real
+        assert np.abs(got[1000:1100]).max() > 1e-4   # and ours rings too
+
+    def test_comb_tail(self):
+        rng = np.random.default_rng(10)
+        sig = rng.standard_normal((800, 1)).astype(np.float32) * 0.3
+        ours = pg.CombPE(pg.ArrayPE(sig), frequency=220.0, feedback=0.9)
+        theirs = ref.CombPE(ref.ArrayPE(sig), frequency=220.0, feedback=0.9)
+        got = ours.render(0, 2400).data
+        want = theirs.render(0, 2400).data
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        assert np.abs(want[900:]).max() > 1e-4
