@@ -150,9 +150,16 @@ class TraceContext:
             return self._memo[key]
 
         out = None
-        if ext.is_empty():
+        # Edge-filling PEs (HOLD modes, ringing tails) emit meaningful
+        # samples outside their extent — never prune or shortcut them.
+        fills = pe._fills_own_edges()
+        if ext.is_empty() and not fills:
             out = self._zeros_like_node(pe, duration)
-        elif static_start and not ext.intersects(Extent(int(start), int(start) + duration)):
+        elif (
+            static_start
+            and not fills
+            and not ext.intersects(Extent(int(start), int(start) + duration))
+        ):
             # Whole request outside the extent: prune at trace time.
             out = self._zeros_like_node(pe, duration)
 

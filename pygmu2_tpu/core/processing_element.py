@@ -39,6 +39,7 @@ class ProcessingElement(ABC):
 
     _sample_rate: int | None = None
     _cached_extent: Extent | None = None
+    _cached_fills_edges: bool | None = None
 
     def __new__(cls, *args, **kwargs):
         # The global sample rate must exist before any node is constructed
@@ -125,9 +126,23 @@ class ProcessingElement(ABC):
         return Extent(None, None)
 
     def _fills_own_edges(self) -> bool:
-        """True when this PE fills samples outside its extent itself
-        (ExtendMode HOLD variants); suppresses the engine's zero mask."""
-        return False
+        """True when this PE emits meaningful samples outside its extent,
+        suppressing the engine's zero mask.
+
+        True for PEs that fill edges themselves (ExtendMode HOLD variants)
+        and for ringing PEs (IIR decay tails). The default PROPAGATES from
+        inputs: a pass-through parent (gain, mix, …) forwards a ringing
+        child's tail instead of re-masking it — matching the reference,
+        where extent masking only ever happens inside a PE's own _render
+        (e.g. GainPE(BiquadPE(src), 1.0) keeps the filter tail past the
+        source extent). PEs that enforce a hard boundary (window family
+        with ExtendMode.ZERO) override this to handle edges explicitly.
+        """
+        if self._cached_fills_edges is None:
+            self._cached_fills_edges = any(
+                inp._fills_own_edges() for inp in self.inputs()
+            )
+        return self._cached_fills_edges
 
     # ---- graph structure ------------------------------------------------
 

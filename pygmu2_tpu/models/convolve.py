@@ -2,12 +2,13 @@
 
 TPU-native rebuilds of:
 - ConvolvePE (reference: src/pygmu2/convolve_pe.py:41-349) — streaming
-  FFT convolution. The reference runs a sequential overlap-save loop with
-  a carried input tail; here the engine pulls the source window
-  ``[start − (L−1), start + duration)`` directly (time is random-access),
-  frames it, and runs ONE batched rfft·H·irfft over all frames — no
-  carried state and no sequential loop, with identical semantics at every
-  block size (and for non-contiguous requests).
+  FFT convolution. Like the reference's overlap-save, the (L−1)-sample
+  input history is carried in engine state (zeroed on a non-contiguous
+  request, matching convolve_pe.py:254-256) and the source is pulled
+  contiguously for exactly ``[start, start + duration)`` — so a stateful
+  source is rendered once per block on its natural stream. Unlike the
+  reference's sequential per-hop loop, every frame of one block
+  transforms in a single batched rfft·H·irfft.
 - ReverbPE (reference: src/pygmu2/reverb_pe.py:27-138) — composite:
   ``out = (1−mix)·dry + (mix/ir_energy)·(dry ∗ ir)``.
 """
@@ -91,8 +92,7 @@ class ConvolvePE(ProcessingElement):
         return [self._src, self._fir]
 
     def is_pure(self) -> bool:
-        # Kept False for API parity with the reference (whose overlap-save
-        # carries a tail); this implementation is actually stateless.
+        # Stateful: carries the (L−1)-sample input history between blocks.
         return False
 
     def channel_count(self) -> int | None:
@@ -124,8 +124,10 @@ class ConvolvePE(ProcessingElement):
         h = ctx.pull_abs(self._fir, 0, L)  # (L, filt_ch)
         filt_ch = h.shape[1]
 
-        # Source window covering every sample the outputs depend on.
-        x = ctx.pull(self._src, shift=-tail, duration=T + tail)
+        # Pull the source for exactly [start, start+T): a stateful source
+        # streams contiguously (its carried state advances block-to-block),
+        # and any sibling pull of the same window dedups in the trace memo.
+        x = ctx.pull(self._src)
         src_ch = x.shape[1]
 
         # Channel-matching rules (reference: convolve_pe.py:114-144).
@@ -143,6 +145,17 @@ class ConvolvePE(ProcessingElement):
             )
 
         from pygmu2_tpu.ops.fftconv import framed_conv
+
+        if tail > 0:
+            # Carried (L−1)-sample input history, zeroed on the first or
+            # any non-contiguous request (reference: convolve_pe.py:254-256
+            # clears its tail on a gap).
+            hist, _ = ctx.state(
+                self,
+                init=lambda: jnp.zeros((tail, int(out_ch)), dtype=prec.AUDIO),
+            )
+            x = jnp.concatenate([hist.astype(x.dtype), x], axis=0)
+            ctx.set_state(self, x[T:].astype(prec.AUDIO))
 
         return framed_conv(x, h, T, nfft=self.fft_size)
 

@@ -52,8 +52,12 @@ class _ExtentWindowPE(ProcessingElement):
         return self._extent.intersection(self._source.extent())
 
     def _fills_own_edges(self) -> bool:
-        # HOLD modes deliberately emit non-zero samples outside the extent.
-        return self._extend_mode != ExtendMode.ZERO
+        # _trace enforces the window itself in every mode (zeros or holds
+        # outside [w_start, w_end)), so the engine mask must not re-apply
+        # the *intersected* extent: a ringing source's decay tail inside
+        # the window but past the source extent survives, as it does in
+        # the reference (crop_pe.py masks only its own window).
+        return True
 
     def _trace(self, ctx):
         mode = self._extend_mode
