@@ -1,24 +1,37 @@
-"""Fused Pallas kernel: per-voice biquad + gain ramps + stereo mixdown.
+"""Fused Pallas kernels for the SoundFont audio-rate pass.
 
-Consumes the oscillator output (T, P) and the per-(block, voice) control
-planes directly, and emits the final (T,) left/right mixes. Compared to
-the XLA pipeline (broadcast 5 coefficient planes to (T, P), FIR, global
-associative scan, 2 gain grids, 2 multiplies + lane reductions — each
-materialized in HBM) this reads xt once and writes 2 x (T, 1):
+Two entry points:
 
-- coefficients/gains stay (1, P) rows in VMEM, broadcast in registers;
-- the filter scan is the blocked Kogge-Stone of ops.linrec_pallas with
-  the gated-biquad structure (a21 = keep, a22 = u2 = 0) hardcoded;
-- the running filter state and the 2-sample FIR tail are carried across
-  chunks in persistent VMEM scratch;
-- gain ramps and the stereo dot-down happen on the scan output in VMEM.
+``filter_gain_mix_pallas``
+    Consumes a precomputed oscillator output ``xt`` (T, P) plus the
+    per-(block, voice) control planes and emits the final (T, 2) stereo
+    mix: per-voice biquad (blocked Kogge-Stone scan), per-block gain
+    ramps, stereo dot-down — one HBM read of xt, two (T, 1) writes.
+
+``osc_filter_gain_mix_pallas``
+    The full audio-rate pass in ONE kernel: the oscillator itself
+    (position arithmetic, loop wrap, wavetable gather + linear interp)
+    runs in VMEM, so the (T, P) oscillator output never exists in HBM.
+    The wavetable lives in VMEM as (R, 128) rows plus a shifted twin
+    (``wave[i + 1]``) so one ``(row, lane)`` decode serves both lerp
+    taps; the per-lane gather is Mosaic's ``tpu.dynamic_gather``
+    (via ``lax.gather`` along lanes) with an R-way masked row select.
+    Compared to the XLA one-hot path this removes ~5 GB of HBM one-hot
+    traffic per 3 s render.
+
+    Mosaic constraint (this jax generation): dynamic_gather fails to
+    legalize in any kernel with a *grid*, so this kernel is gridless —
+    a single program with a ``fori_loop`` over chunks; everything
+    (control rows, wavetable, outputs) is VMEM-resident.  Outputs are
+    written as (n_chunks, chunk) rows via an in-kernel transpose (a
+    (T, 1) VMEM output would pad each sample row to 128 lanes).
 
 Chunk size must divide the MIDI block size N so each chunk sees exactly
 one control row (chunks_per_block = N // chunk).
 
 Reference counterpart: the per-voice block loop of
-reference meltysynth/synth/voice.py (filter + mix per block) —
-here one kernel pass over the whole timeline for all voices.
+reference meltysynth/synth/voice.py (oscillator + filter + mix per
+block) — here one kernel pass over the whole timeline for all voices.
 """
 
 from __future__ import annotations
@@ -32,100 +45,130 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pygmu2_tpu.soundfont.params import NON_AUDIBLE
 
+# largest wavetable the in-kernel gather path accepts: R = L/128 rows of
+# masked dynamic_gather per lerp tap; beyond this the XLA one-hot path
+# (ops.table) wins.
+OSC_KERNEL_MAX_WAVE = 16384
+# largest timeline the gridless kernel holds in VMEM (outputs are
+# 2 * T * 4 bytes dense): 2^20 samples ~ 23.7 s at 44.1 kHz -> 8 MB.
+OSC_KERNEL_MAX_T = 1 << 20
+
+
+def _filter_mix_math(x, row, pos, N, carry, tail):
+    """Functional biquad + gain-ramp + mix for one (C, P) chunk.
+
+    x: (C, P) oscillator samples; ``row(name)`` -> (1, P) control row;
+    pos: (C, P) int32 sample positions within the MIDI block;
+    carry: (2, P) filter state [y1; y2]; tail: (2, P) FIR input tail
+    [x[-2]; x[-1]].  Returns (ml, mr, new_carry, new_tail) where
+    ml/mr are the gain-weighted per-voice outputs (C, P) (sum over
+    lanes = the stereo mix).
+    """
+    C, P = x.shape
+    # masks as 0/1 float32 — Mosaic cannot concat/slice bool vectors
+    boundary_f = (pos == 0).astype(jnp.float32) * (
+        row("freshf") > 0.5
+    ).astype(jnp.float32)
+
+    x1 = jnp.concatenate([tail[1:2, :], x[: C - 1]], axis=0)
+    x2 = jnp.concatenate([tail[0:2, :], x[: C - 2]], axis=0)
+    b1ok = 1.0 - boundary_f
+    b2ok = b1ok * jnp.concatenate(
+        [jnp.ones((1, P), jnp.float32), b1ok[: C - 1]], axis=0
+    )
+    fir = (
+        row("b0") * x
+        + row("b1") * (b1ok * x1)
+        + row("b2") * (b2ok * x2)
+    )
+    keep = b1ok
+    m11 = jnp.broadcast_to(-row("a1") * keep, (C, P))
+    m12 = jnp.broadcast_to(-row("a2") * keep, (C, P))
+    m21 = jnp.broadcast_to(keep, (C, P))
+    m22 = jnp.zeros((C, P), jnp.float32)
+    v1 = fir
+    v2 = jnp.zeros((C, P), jnp.float32)
+
+    s = 1
+    while s < C:
+        def sh(arr, fill):
+            top = jnp.full((s, P), fill, arr.dtype)
+            return jnp.concatenate([top, arr[:-s]], axis=0)
+
+        p11 = sh(m11, 1.0)
+        p12 = sh(m12, 0.0)
+        p21 = sh(m21, 0.0)
+        p22 = sh(m22, 1.0)
+        q1 = sh(v1, 0.0)
+        q2 = sh(v2, 0.0)
+        n11 = m11 * p11 + m12 * p21
+        n12 = m11 * p12 + m12 * p22
+        n21 = m21 * p11 + m22 * p21
+        n22 = m21 * p12 + m22 * p22
+        v1 = m11 * q1 + m12 * q2 + v1
+        v2 = m21 * q1 + m22 * q2 + v2
+        m11, m12, m21, m22 = n11, n12, n21, n22
+        s *= 2
+
+    c1 = carry[0:1, :]
+    c2 = carry[1:2, :]
+    y = m11 * c1 + m12 * c2 + v1
+    y2 = m21 * c1 + m22 * c2 + v2
+    new_carry = jnp.concatenate([y[C - 1 : C, :], y2[C - 1 : C, :]], axis=0)
+    new_tail = x[C - 2 : C, :]
+
+    ramp = pos.astype(jnp.float32) * (1.0 / N)
+
+    def gain(prev_name, cur_name):
+        prev = row(prev_name)  # (1, P)
+        cur = row(cur_name)
+        audible = jnp.maximum(prev, cur) >= NON_AUDIBLE
+        const = jnp.abs(cur - prev) < 1.0e-3
+        g = jnp.where(const, cur, prev + (cur - prev) * ramp)
+        return jnp.where(audible, g, 0.0)
+
+    return gain("pgl", "gl") * y, gain("pgr", "gr") * y, new_carry, new_tail
+
+
+_FILTER_ROWS = ("b0", "b1", "b2", "a1", "a2", "freshf", "pgl", "gl", "pgr", "gr")
+
+
+def _chunk_pos(i, cpb, C, P):
+    """(C, P) int32 sample positions within the MIDI block of chunk i."""
+    return jax.lax.rem(i, jnp.int32(cpb)) * jnp.int32(
+        C
+    ) + jax.lax.broadcasted_iota(jnp.int32, (C, P), 0)
+
 
 def _make_kernel(N: int, chunk: int):
     cpb = N // chunk
 
-    def kernel(xt_ref, b0r, b1r, b2r, a1r, a2r, freshr,
-               pglr, glr, pgrr, grr, l_ref, r_ref, carry, tail):
+    def kernel(xt_ref, *refs):
+        row_refs = dict(zip(_FILTER_ROWS, refs[: len(_FILTER_ROWS)]))
+        l_ref, r_ref, carry, tail = refs[len(_FILTER_ROWS) :]
         i = pl.program_id(0)
         # NB: i32 program id + python int promotes to i64 under
         # jax_enable_x64, which Mosaic cannot lower — pin to i32.
-        cpb32 = jnp.int32(cpb)
-        blk = jax.lax.div(i, cpb32)  # MIDI block this chunk belongs to
+        blk = jax.lax.div(i, jnp.int32(cpb))
 
-        def row(ref):  # (B, P) control plane resident in VMEM -> (1, P)
-            return ref[pl.ds(blk, 1), :]
+        def row(name):  # (B, P) control plane resident in VMEM -> (1, P)
+            return row_refs[name][pl.ds(blk, 1), :]
 
         @pl.when(i == 0)
         def _init():
             carry[:] = jnp.zeros_like(carry)
             tail[:] = jnp.zeros_like(tail)
 
-        x = xt_ref[:]  # (C, P)
+        x = xt_ref[:]
         C, P = x.shape
-        pos = jax.lax.rem(i, cpb32) * jnp.int32(C) + jax.lax.broadcasted_iota(
-            jnp.int32, (C, P), 0
+        pos = _chunk_pos(i, cpb, C, P)
+        ml, mr, new_carry, new_tail = _filter_mix_math(
+            x, row, pos, N, carry[:], tail[:]
         )
-        # masks as 0/1 float32 — Mosaic cannot concat/slice bool vectors
-        boundary_f = (pos == 0).astype(jnp.float32) * (
-            row(freshr) > 0.5
-        ).astype(jnp.float32)
-
-        x1 = jnp.concatenate([tail[1:2, :], x[: C - 1]], axis=0)
-        x2 = jnp.concatenate([tail[0:2, :], x[: C - 2]], axis=0)
-        b1ok = 1.0 - boundary_f
-        b2ok = b1ok * jnp.concatenate(
-            [jnp.ones((1, P), jnp.float32), b1ok[: C - 1]], axis=0
-        )
-        fir = (
-            row(b0r) * x
-            + row(b1r) * (b1ok * x1)
-            + row(b2r) * (b2ok * x2)
-        )
-        keep = b1ok
-        m11 = -row(a1r) * keep
-        m12 = -row(a2r) * keep
-        m21 = keep
-        m22 = jnp.zeros((C, P), jnp.float32)
-        v1 = fir
-        v2 = jnp.zeros((C, P), jnp.float32)
-        m21 = jnp.broadcast_to(m21, (C, P))
-        m11 = jnp.broadcast_to(m11, (C, P))
-        m12 = jnp.broadcast_to(m12, (C, P))
-
-        s = 1
-        while s < C:
-            def sh(arr, fill):
-                top = jnp.full((s, P), fill, arr.dtype)
-                return jnp.concatenate([top, arr[:-s]], axis=0)
-
-            p11 = sh(m11, 1.0)
-            p12 = sh(m12, 0.0)
-            p21 = sh(m21, 0.0)
-            p22 = sh(m22, 1.0)
-            q1 = sh(v1, 0.0)
-            q2 = sh(v2, 0.0)
-            n11 = m11 * p11 + m12 * p21
-            n12 = m11 * p12 + m12 * p22
-            n21 = m21 * p11 + m22 * p21
-            n22 = m21 * p12 + m22 * p22
-            v1 = m11 * q1 + m12 * q2 + v1
-            v2 = m21 * q1 + m22 * q2 + v2
-            m11, m12, m21, m22 = n11, n12, n21, n22
-            s *= 2
-
-        c1 = carry[0:1, :]
-        c2 = carry[1:2, :]
-        y = m11 * c1 + m12 * c2 + v1
-        y2 = m21 * c1 + m22 * c2 + v2
-        carry[0:1, :] = y[C - 1 : C, :]
-        carry[1:2, :] = y2[C - 1 : C, :]
-        tail[0:1, :] = x[C - 2 : C - 1, :]
-        tail[1:2, :] = x[C - 1 : C, :]
-
-        ramp = pos.astype(jnp.float32) * (1.0 / N)
-
-        def gain(prev_r, cur_r):
-            prev = row(prev_r)  # (1, P)
-            cur = row(cur_r)
-            audible = jnp.maximum(prev, cur) >= NON_AUDIBLE
-            const = jnp.abs(cur - prev) < 1.0e-3
-            g = jnp.where(const, cur, prev + (cur - prev) * ramp)
-            return jnp.where(audible, g, 0.0)
-
-        l_ref[:] = jnp.sum(gain(pglr, glr) * y, axis=1, keepdims=True)
-        r_ref[:] = jnp.sum(gain(pgrr, grr) * y, axis=1, keepdims=True)
+        carry[:] = new_carry
+        tail[:] = new_tail
+        l_ref[:] = jnp.sum(ml, axis=1, keepdims=True)
+        r_ref[:] = jnp.sum(mr, axis=1, keepdims=True)
 
     return kernel
 
@@ -150,7 +193,6 @@ def filter_gain_mix_pallas(xt, rows, N: int, chunk: int = 128,
     out_spec = pl.BlockSpec(
         (chunk, 1), lambda i: (i, i * 0), memory_space=pltpu.VMEM
     )
-    names = ("b0", "b1", "b2", "a1", "a2", "freshf", "pgl", "gl", "pgr", "gr")
     L, R = pl.pallas_call(
         _make_kernel(N, chunk),
         out_shape=(
@@ -158,12 +200,175 @@ def filter_gain_mix_pallas(xt, rows, N: int, chunk: int = 128,
             jax.ShapeDtypeStruct((T, 1), jnp.float32),
         ),
         grid=(T // chunk,),
-        in_specs=[big_spec] + [row_spec] * len(names),
+        in_specs=[big_spec] + [row_spec] * len(_FILTER_ROWS),
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
             pltpu.VMEM((2, P), jnp.float32),  # filter state carry
             pltpu.VMEM((2, P), jnp.float32),  # FIR input tail
         ],
         interpret=interpret,
-    )(xt, *[rows[k] for k in names])
+    )(xt, *[rows[k] for k in _FILTER_ROWS])
     return jnp.concatenate([L, R], axis=1)
+
+
+# ---- oscillator-fused variant -------------------------------------------
+
+_OSC_F32_ROWS = ("ratio", "base_frac", "loopf", "ls_val") + _FILTER_ROWS
+_OSC_I32_ROWS = ("base_int", "loop_start", "loop_len", "smp_end")
+
+
+def _lane_gather(x, idx):
+    """out[i, j] = x[i, idx[i, j]] with int32 indices.
+
+    jnp.take_along_axis promotes indices to int64 under jax_enable_x64,
+    which Mosaic rejects; call lax.gather directly in the exact form
+    Mosaic lowers to ``tpu.dynamic_gather`` along lanes.
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        x,
+        idx[..., None],
+        dnums,
+        slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
+                     L_true: int):
+    cpb = N // chunk
+
+    def kernel(w0_ref, w1_ref, *refs):
+        nf, ni = len(_OSC_F32_ROWS), len(_OSC_I32_ROWS)
+        row_refs = dict(zip(_OSC_F32_ROWS, refs[:nf]))
+        row_refs.update(dict(zip(_OSC_I32_ROWS, refs[nf : nf + ni])))
+        l_ref, r_ref = refs[nf + ni :]
+        P = row_refs["ratio"].shape[1]
+        C = chunk
+
+        def body(i, state):
+            carry, tail = state
+            blk = jax.lax.div(i, jnp.int32(cpb))
+
+            def row(name):
+                return row_refs[name][pl.ds(blk, 1), :]
+
+            pos = _chunk_pos(i, cpb, C, P)
+            # ---- oscillator: same arithmetic as the XLA path ----
+            steps = pos.astype(jnp.float32)
+            offset = row("base_frac") + steps * row("ratio")  # (C, P)
+            off_int = jnp.floor(offset)
+            frac = offset - off_int
+            abs_idx = row("base_int") + off_int.astype(jnp.int32)
+            loop_start = row("loop_start")
+            loop_len = row("loop_len")
+            # loop wrap without integer mod: the base is pre-wrapped
+            # into the loop, so phi >= 0 and modest; f32 reciprocal
+            # with exact ±1 integer fixup.
+            phi = abs_idx - loop_start
+            inv_ll = 1.0 / loop_len.astype(jnp.float32)
+            k = jnp.floor(phi.astype(jnp.float32) * inv_ll).astype(jnp.int32)
+            w = phi - k * loop_len
+            w = jnp.where(w < 0, w + loop_len, w)
+            w = jnp.where(w >= loop_len, w - loop_len, w)
+            looping = row("loopf") > 0.5
+            idx_eff = jnp.where(looping, loop_start + w, abs_idx)
+            # NB: jnp.clip promotes a weak python 0 to i64 under
+            # jax_enable_x64 and Mosaic cannot cast i64 -> i32.
+            i0 = jnp.minimum(
+                jnp.maximum(idx_eff, jnp.int32(0)), jnp.int32(L_true - 2)
+            )
+            q = jax.lax.shift_right_logical(i0, jnp.int32(7))
+            s = jnp.bitwise_and(i0, jnp.int32(127))
+            acc0 = jnp.zeros((C, P), jnp.float32)
+            acc1 = jnp.zeros((C, P), jnp.float32)
+            for r in range(n_rows):
+                m = q == r
+                r0 = jnp.broadcast_to(w0_ref[r : r + 1, :], (C, P))
+                r1 = jnp.broadcast_to(w1_ref[r : r + 1, :], (C, P))
+                acc0 = jnp.where(m, _lane_gather(r0, s), acc0)
+                acc1 = jnp.where(m, _lane_gather(r1, s), acc1)
+            # loop-end wrap of the second lerp tap: i0+1 -> loop_start
+            wrap = looping & ((i0 + 1) >= (loop_start + loop_len))
+            w1v = jnp.where(wrap, row("ls_val"), acc1)
+            smp = (1.0 - frac) * acc0 + frac * w1v
+            valid = looping | (abs_idx < row("smp_end"))
+            x = jnp.where(valid, smp, 0.0)
+
+            ml, mr, carry, tail = _filter_mix_math(
+                x, row, pos, N, carry, tail
+            )
+            # mix down over lanes, then lay the C samples across lanes
+            # of output row i (a (T, 1) VMEM output would pad to 128
+            # lanes per sample): transpose + sublane reduce.
+            lrow = jnp.sum(ml.T, axis=0, keepdims=True)  # (1, C)
+            rrow = jnp.sum(mr.T, axis=0, keepdims=True)
+            l_ref[pl.ds(i, 1), :] = lrow
+            r_ref[pl.ds(i, 1), :] = rrow
+            return (carry, tail)
+
+        jax.lax.fori_loop(
+            jnp.int32(0),
+            jnp.int32(n_chunks),
+            body,
+            (
+                jnp.zeros((2, P), jnp.float32),
+                jnp.zeros((2, P), jnp.float32),
+            ),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "L_true", "chunk", "interpret")
+)
+def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
+                               chunk: int = 128, interpret: bool = False):
+    """Fully fused audio-rate pass: oscillator + biquad + gains + mix.
+
+    rows: dict of (B, P) control planes —
+      f32: ratio, base_frac, loopf (0/1), ls_val (wave[loop_start]),
+           b0 b1 b2 a1 a2, freshf, pgl gl pgr gr (gains pre-folded with
+           master volume and aliveness);
+      i32: base_int, loop_start, loop_len (>=1), smp_end.
+    wave: (L,) float32 wavetable, L == L_true <= OSC_KERNEL_MAX_WAVE.
+    Returns (T, 2) float32 with T = B * N (and T <= OSC_KERNEL_MAX_T).
+    """
+    B, P = rows["ratio"].shape
+    T = B * N
+    assert N % chunk == 0 and T <= OSC_KERNEL_MAX_T
+    n_chunks = T // chunk
+    n_rows = -(-L_true // 128)
+    pad = n_rows * 128 - L_true
+    w0 = jnp.concatenate([wave, jnp.zeros((pad,), wave.dtype)])
+    # shifted twin: w1[i] = wave[i + 1] (last entry repeats — i0 is
+    # clipped to L_true - 2 so tap 1 never reads past the end)
+    w1 = jnp.concatenate([wave[1:], wave[-1:], jnp.zeros((pad,), wave.dtype)])
+    w0 = w0.reshape(n_rows, 128)
+    w1 = w1.reshape(n_rows, 128)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    L, R = pl.pallas_call(
+        _make_osc_kernel(N, chunk, n_chunks, n_rows, L_true),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+        ),
+        in_specs=[vspec]
+        * (2 + len(_OSC_F32_ROWS) + len(_OSC_I32_ROWS)),
+        out_specs=(vspec, vspec),
+        interpret=interpret,
+    )(
+        w0,
+        w1,
+        *[jnp.asarray(rows[k], jnp.float32) for k in _OSC_F32_ROWS],
+        *[jnp.asarray(rows[k], jnp.int32) for k in _OSC_I32_ROWS],
+    )
+    return jnp.stack([L.reshape(T), R.reshape(T)], axis=1)

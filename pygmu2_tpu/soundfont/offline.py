@@ -516,6 +516,30 @@ def _compute_control_vectorized(synth, par_np, ch_np, snap_idx):
 # ---- device pass --------------------------------------------------------
 
 
+def _osc_rows(ctrl, wave):
+    """Oscillator control rows for the fused Pallas kernel."""
+    from pygmu2_tpu.ops.table import table_lookup
+
+    W = wave.shape[0]
+    loop_start_i = ctrl["loop_start"].astype(jnp.int32)
+    if "base_int" in ctrl:
+        base_int, base_frac = ctrl["base_int"], ctrl["base_frac"]
+    else:
+        base = ctrl["base_pos"]
+        base_int = jnp.floor(base).astype(jnp.int32)
+        base_frac = (base - jnp.floor(base)).astype(jnp.float32)
+    return dict(
+        ratio=ctrl["ratio"],
+        base_frac=base_frac,
+        base_int=base_int,
+        loopf=ctrl["looping"].astype(jnp.float32),
+        loop_start=loop_start_i,
+        loop_len=jnp.maximum(ctrl["loop_len"].astype(jnp.int32), 1),
+        smp_end=ctrl["smp_end"].astype(jnp.int32),
+        ls_val=table_lookup(wave, jnp.clip(loop_start_i, 0, W - 1)),
+    )
+
+
 def _audio_pass(ctrl, wave, N: int, master: float):
     """One parallel program over the whole timeline.
 
@@ -531,6 +555,37 @@ def _audio_pass(ctrl, wave, N: int, master: float):
 
     B, P = ctrl["ratio"].shape
     T = B * N
+    W = wave.shape[0]
+
+    m = jnp.float32(master)
+    alive = ctrl["alive"]
+    if (
+        jax.default_backend() == "tpu"
+        and P % 128 == 0
+        and N % 128 == 0
+    ):
+        gains = {
+            "b0": ctrl["b0"],
+            "b1": ctrl["b1"],
+            "b2": ctrl["b2"],
+            "a1": ctrl["a1"],
+            "a2": ctrl["a2"],
+            "freshf": ctrl["fresh"].astype(jnp.float32),
+            "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
+            "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
+            "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
+            "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
+        }
+        from pygmu2_tpu.soundfont.filter_pallas import (
+            OSC_KERNEL_MAX_WAVE,
+            osc_filter_gain_mix_pallas,
+        )
+
+        if W <= OSC_KERNEL_MAX_WAVE:
+            # fully fused: the oscillator runs inside the kernel; the
+            # (T, P) oscillator output never exists in HBM.
+            rows = dict(gains, **_osc_rows(ctrl, wave))
+            return osc_filter_gain_mix_pallas(rows, wave, N, W)
 
     def e(c):  # (B, P) -> (B, 1, P) broadcast plane
         return c[:, None, :]
@@ -582,29 +637,17 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     valid = looping | (abs_idx < smp_end)
     xt = jnp.where(valid, smp, 0.0).reshape(T, P)
 
-    m = jnp.float32(master)
-    alive = ctrl["alive"]
     if (
         jax.default_backend() == "tpu"
         and P % 128 == 0
         and N % 128 == 0
     ):
         # fused filter + gain ramps + mixdown in one Pallas pass
+        # (wavetable too large for the in-kernel gather; xt came from
+        # the XLA one-hot path above)
         from pygmu2_tpu.soundfont.filter_pallas import filter_gain_mix_pallas
 
-        rows = {
-            "b0": ctrl["b0"],
-            "b1": ctrl["b1"],
-            "b2": ctrl["b2"],
-            "a1": ctrl["a1"],
-            "a2": ctrl["a2"],
-            "freshf": ctrl["fresh"].astype(jnp.float32),
-            "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
-            "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
-            "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
-            "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
-        }
-        return filter_gain_mix_pallas(xt, rows, N)
+        return filter_gain_mix_pallas(xt, gains, N)
 
     # ---- filter over the whole timeline, per voice ----
     # epoch boundaries: first samples of fresh blocks must not see the

@@ -85,3 +85,92 @@ def test_fused_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-5 * max(scale, 1.0)
     )
+
+
+def _osc_fused_case(sample_specs, events, seconds, N=128):
+    """Render one schedule through the XLA audio pass and the fused
+    oscillator kernel (interpret mode) and compare."""
+    from pygmu2_tpu.soundfont import (
+        MidiFile,
+        SoundFont,
+        Synthesizer,
+        SynthesizerSettings,
+    )
+    from pygmu2_tpu.soundfont.build import build_sf2
+    from pygmu2_tpu.soundfont.offline import (
+        _audio_pass,
+        _osc_rows,
+        compute_control,
+    )
+    from pygmu2_tpu.soundfont.filter_pallas import osc_filter_gain_mix_pallas
+    from tests.test_soundfont import build_midi
+
+    font = SoundFont(build_sf2(sample_specs))
+    synth = Synthesizer(
+        font, SynthesizerSettings(block_size=N, maximum_polyphony=128)
+    )
+    midi = MidiFile(build_midi(events))
+    par_np, ch_np, snap_idx, _nb = synth.build_schedule(midi, seconds)
+    ctrl = compute_control(synth, par_np, ch_np, snap_idx)
+    ctrl = {k: jnp.asarray(v) for k, v in ctrl.items()}
+    wave = synth._wave
+    master = float(synth.master_volume)
+
+    ref = _audio_pass(ctrl, wave, N, master)  # CPU backend -> XLA path
+
+    m = jnp.float32(master)
+    alive = ctrl["alive"]
+    rows = {
+        "b0": ctrl["b0"], "b1": ctrl["b1"], "b2": ctrl["b2"],
+        "a1": ctrl["a1"], "a2": ctrl["a2"],
+        "freshf": ctrl["fresh"].astype(jnp.float32),
+        "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
+        "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
+        "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
+        "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
+    }
+    rows.update(_osc_rows(ctrl, wave))
+    got = osc_filter_gain_mix_pallas(
+        rows, wave, N, int(wave.shape[0]), interpret=True
+    )
+    scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-5 * max(scale, 1.0)
+    )
+    assert float(jnp.max(jnp.abs(ref))) > 1e-4  # non-degenerate
+
+
+def test_osc_fused_looped_chord():
+    from pygmu2_tpu.soundfont.build import make_looped_sample
+
+    _osc_fused_case(
+        [{"data": make_looped_sample(261.63, harmonics=4), "rate": 44100,
+          "root_key": 60, "loop": True, "attack_tc": -9000,
+          "release_tc": -5000}],
+        [(0.0, 0x90, 60, 100), (0.0, 0x90, 64, 90), (0.01, 0x90, 67, 80),
+         (0.02, 0x80, 60, 0), (0.03, 0x80, 64, 0)],
+        0.06,
+    )
+
+
+def test_osc_fused_no_loop_runs_off_end():
+    from pygmu2_tpu.soundfont.build import make_looped_sample
+
+    _osc_fused_case(
+        [{"data": make_looped_sample(261.63, cycles=4), "rate": 44100,
+          "root_key": 60, "loop": False}],
+        [(0.0, 0x90, 60, 100), (0.0, 0x90, 72, 100), (0.0, 0x90, 48, 100)],
+        0.05,
+    )
+
+
+def test_osc_fused_pitch_bend():
+    from pygmu2_tpu.soundfont.build import make_looped_sample
+
+    _osc_fused_case(
+        [{"data": make_looped_sample(220.0, harmonics=3), "rate": 44100,
+          "root_key": 57, "loop": True}],
+        [(0.0, 0x90, 57, 100), (0.01, 0xE0, 0, 96), (0.02, 0xE0, 0, 32),
+         (0.035, 0x80, 57, 0)],
+        0.05,
+    )
