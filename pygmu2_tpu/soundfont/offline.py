@@ -807,23 +807,35 @@ _CH_F32 = ("ch_mod", "ch_vol_exp", "ch_pan", "ch_pitch")
 
 
 def _pack_schedule(par_np, ch_np):
-    """Stack the schedule by dtype; also derive static trace flags."""
+    """Stack the schedule by dtype; also derive static trace flags.
+
+    f64 planes are shipped as exact (hi, lo) float32 pairs — stacked as
+    (2 * len(_PAR_F64), S, P) — so the device-side snapshot expansion
+    can run as an exact float32 one-hot matmul on the MXU (f64 matmul
+    is software-emulated on TPU) and be recombined losslessly.
+    """
     pf32 = np.stack([par_np[k] for k in _PAR_F32])
     pi32 = np.stack([par_np[k] for k in _PAR_I32])
-    pf64 = np.stack([par_np[k] for k in _PAR_F64])
+    f64 = np.stack([par_np[k] for k in _PAR_F64])
+    hi = f64.astype(np.float32)
+    lo = (f64 - hi.astype(np.float64)).astype(np.float32)
+    pf64 = np.concatenate([hi, lo], axis=0)
     cf32 = np.stack([ch_np[k] for k in _CH_F32])
     chold = ch_np["ch_hold"]
     mode3_any = bool((par_np["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)).any())
     dynamic_any = bool(
         ((par_np["modlfo2cut"] != 0.0) | (par_np["modenv2cut"] != 0.0)).any()
     )
+    # int planes ride the f32 one-hot matmul only while exactly
+    # representable (|v| < 2^24; release_req exceeds that past ~6 min)
+    i32_mm_ok = bool(np.abs(pi32).max(initial=0) < (1 << 24))
     return (
         jnp.asarray(pf32),
         jnp.asarray(pi32),
         jnp.asarray(pf64),
         jnp.asarray(cf32),
         jnp.asarray(chold),
-        (mode3_any, dynamic_any),
+        (mode3_any, dynamic_any, i32_mm_ok),
     )
 
 
@@ -834,53 +846,109 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
     axis; the only lax.scan (the clamped cutoff smoother) is traced only
     when the soundfont actually modulates cutoff (static flag).
     """
-    mode3_any, dynamic_any = flags
+    mode3_any, dynamic_any, i32_mm_ok = flags
     B = snap_idx.shape[0]
     P = pf32.shape[2]
+    n64 = len(_PAR_F64)
     rpo = np.float32(1.0 - 1.0 / math.sqrt(2.0))
     xp = jnp
 
-    par = {k: pf32[i][snap_idx] for i, k in enumerate(_PAR_F32)}
-    pari = {k: pi32[i][snap_idx] for i, k in enumerate(_PAR_I32)}
-    par64 = {k: pf64[i][snap_idx] for i, k in enumerate(_PAR_F64)}
-    ch = {k: cf32[i][snap_idx] for i, k in enumerate(_CH_F32)}
-    ch["ch_hold"] = chold[snap_idx]
+    # ---- snapshot expansion: (k, S, P) -> (k, B, P) -------------------
+    # A plain `plane[snap_idx]` gather lowers to a ~7 ns/element scalar
+    # loop on TPU (~116 µs per plane — it dominated this pass); the
+    # one-hot contraction runs on the MXU and is exact (each product
+    # term is the plane value or 0).  int planes ride the f32 matmul
+    # (epoch/release_req < 2^24, exact in f32); f64 planes were packed
+    # as exact (hi, lo) f32 pairs.
+    S = pf32.shape[1]
+    oh = jax.nn.one_hot(snap_idx, S, dtype=jnp.float32)  # (B, S)
+
+    def expand(planes):  # (k, S, P) f32 -> (k, B, P)
+        return jnp.einsum(
+            "bs,ksp->kbp", oh, planes, preferred_element_type=jnp.float32
+        )
+
+    ef32 = expand(pf32)
+    if i32_mm_ok:
+        ei32 = jnp.round(expand(pi32.astype(jnp.float32))).astype(jnp.int32)
+        pari = {k: ei32[i] for i, k in enumerate(_PAR_I32)}
+    else:  # values too large for exact f32 matmul: plain (slow) gather
+        pari = {k: pi32[i][snap_idx] for i, k in enumerate(_PAR_I32)}
+    e64 = expand(pf64)
+    ech = oh @ cf32.astype(jnp.float32).transpose(1, 0, 2).reshape(S, -1)
+    ech = ech.reshape(B, len(_CH_F32), -1).transpose(1, 0, 2)  # (4, B, 16)
+
+    par = {k: ef32[i] for i, k in enumerate(_PAR_F32)}
+    par64 = {
+        k: e64[i].astype(jnp.float64) + e64[n64 + i].astype(jnp.float64)
+        for i, k in enumerate(_PAR_F64)
+    }
+    ch = {k: ech[i] for i, k in enumerate(_CH_F32)}
+    ch["ch_hold"] = (oh @ chold.astype(jnp.float32)) > 0.5
     chan = pari["channel"]
     par["release_req"] = pari["release_req"]  # int compare below
     # int32 throughout: block indices / voice times fit comfortably and
     # int64 arithmetic is software-emulated on TPU.
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
+    n_midi_ch = cf32.shape[2]
+
     def chv(name):
-        return jnp.take_along_axis(ch[name], chan, axis=1)
+        # per-voice view of a (B, n_ch) channel field: a 16-way masked
+        # select instead of a per-element gather (scalar loop on TPU)
+        c = ch[name]
+        acc = jnp.broadcast_to(c[:, 0:1], chan.shape)
+        for j in range(1, n_midi_ch):
+            acc = jnp.where(chan == j, c[:, j : j + 1], acc)
+        return acc
+
+    def cscan(x):  # inclusive cumsum without the reduce-window lowering
+        return jax.lax.associative_scan(jnp.add, x, axis=0)
+
+    def cmax(x):
+        return jax.lax.associative_scan(jnp.maximum, x, axis=0)
+
+    def ffill(values, marked):
+        """Forward-fill: at each row, the most recent `values` row where
+        `marked` was True (rows before the first mark keep row 0's
+        value masked by callers via the matching validity logic).
+        Replaces take-along-axis row gathers (scalar loops on TPU)."""
+
+        def combine(a, b):
+            va, ma = a
+            vb, mb = b
+            return jnp.where(mb, vb, va), ma | mb
+
+        v, _ = jax.lax.associative_scan(combine, (values, marked), axis=0)
+        return v
 
     epoch = pari["epoch"]
     fresh = jnp.concatenate(
         [jnp.ones((1, P), bool), epoch[1:] != epoch[:-1]], axis=0
     )
-    seg_start = jax.lax.cummax(jnp.where(fresh, b_idx, -1), axis=0)
+    seg_start = cmax(jnp.where(fresh, b_idx, -1))
     vt = (b_idx - seg_start) * N
     # divide in f64 then round, matching the numpy control pass bit-for-bit
     t_now = (vt.astype(jnp.float64) / sr).astype(jnp.float32)
     t_end = ((vt + N).astype(jnp.float64) / sr).astype(jnp.float32)
 
     def seg_gather(arr):
-        return jnp.take_along_axis(arr, seg_start, axis=0)
+        # value at each row's segment start (forward-fill from fresh rows)
+        return ffill(arr, fresh)
 
     hold = chv("ch_hold")
     eligible = (par["release_req"] <= vt) & (vt >= min_dur) & ~hold
-    elig_cs = jnp.cumsum(eligible, axis=0)
+    elig_cs = cscan(eligible.astype(jnp.int32))
     excl = jnp.concatenate([jnp.zeros((1, P), elig_cs.dtype), elig_cs[:-1]], 0)
     elig_in_seg = elig_cs - seg_gather(excl)
     released = elig_in_seg > 0
     first_elig = eligible & (elig_in_seg == 1)
     marker_row = jnp.where(first_elig, b_idx, -1)
-    marker_cm = jax.lax.cummax(marker_row, axis=0)
+    marker_cm = cmax(marker_row)
     rel_valid = marker_cm >= seg_start
-    rel_row = jnp.clip(marker_cm, 0, B - 1)
     rel_t = jnp.where(
         released & rel_valid,
-        jnp.take_along_axis(t_now, rel_row, axis=0),
+        ffill(t_now, first_elig),
         0.0,
     ).astype(jnp.float32)
     released = released & rel_valid
@@ -908,13 +976,13 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
         (pari["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)) & ~released
     )
     advance = N * ratio
-    adv_cs = jnp.cumsum(advance, axis=0)
+    adv_cs = cscan(advance)
     adv_excl = jnp.concatenate([jnp.zeros((1, P), adv_cs.dtype), adv_cs[:-1]], 0)
     base = par64["smp_start"] + (adv_excl - seg_gather(adv_excl))
 
     loop_len = jnp.maximum(par64["loop_end"] - par64["loop_start"], 1.0)
     if mode3_any:
-        base_at_rel = jnp.take_along_axis(base, rel_row, axis=0)
+        base_at_rel = ffill(base, first_elig)
         wrapped_at_rel = (
             jnp.mod(base_at_rel - par64["loop_start"], loop_len)
             + par64["loop_start"]
@@ -985,7 +1053,7 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
 
     active0 = par["note_gain"] >= NON_AUDIBLE
     dead = dead_vol | dead_osc
-    dead_cs = jnp.cumsum(dead, axis=0)
+    dead_cs = cscan(dead.astype(jnp.int32))
     dead_excl = jnp.concatenate([jnp.zeros((1, P), dead_cs.dtype), dead_cs[:-1]], 0)
     dead_before = (dead_excl - seg_gather(dead_excl)) > 0
     alive = active0 & ~dead_before & ~dead
