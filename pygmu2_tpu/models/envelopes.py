@@ -237,6 +237,40 @@ class AdsrGatedPE(_AdsrBase):
         st, _ = ctx.state(self, init=init)
         sus = self._sustain_level
 
+        if jax.default_backend() == "tpu":
+            # sequential Mosaic kernel: (stage, e0, n) count-based state,
+            # env recomputed as e0 + n*dvdt each sample (no f64 carry
+            # needed — one rounding regardless of segment length)
+            from pygmu2_tpu.ops.adsr_pallas import (
+                adsr_scan_pallas,
+                env_of_state,
+            )
+
+            kw = dict(
+                dA=self._attack_dvdt,
+                dD=self._decay_dvdt,
+                dR=self._release_dvdt,
+                sus=sus,
+            )
+            kst = jnp.stack(
+                [
+                    st["stage"].astype(jnp.float32),
+                    st["env"].astype(jnp.float32),
+                    jnp.float32(0.0),
+                    st["prev_gate"].astype(jnp.float32),
+                ]
+            )
+            y, ns = adsr_scan_pallas(gate.astype(jnp.float32), kst, **kw)
+            ctx.set_state(
+                self,
+                {
+                    "stage": ns[0].astype(jnp.int32),
+                    "env": env_of_state(ns, **kw).astype(prec.WIDE),
+                    "prev_gate": ns[3].astype(prec.AUDIO),
+                },
+            )
+            return y.astype(prec.AUDIO)[:, None]
+
         def step(carry, g):
             out = carry["env"]
             rising = (carry["prev_gate"] == 0.0) & (g == 1.0)
@@ -300,6 +334,58 @@ class AdsrTriggeredPE(_AdsrBase):
         }
         st, _ = ctx.state(self, init=init)
         sus = self._sustain_level
+
+        S = self._sustain_samples
+        if jax.default_backend() == "tpu" and 0 < S < (1 << 24):
+            # sequential Mosaic kernel; the absolute sustain deadline is
+            # converted to a samples-since-entry count (see adsr_pallas)
+            from pygmu2_tpu.ops.adsr_pallas import (
+                adsr_scan_pallas,
+                env_of_state,
+            )
+
+            kw = dict(
+                dA=self._attack_dvdt,
+                dD=self._decay_dvdt,
+                dR=self._release_dvdt,
+                sus=sus,
+            )
+            t0 = t[0]
+            in_sus = st["stage"] == _SUSTAIN
+            # n_pre(t0) = S - 1 - (ends_at - t0), clamped into [0, S-1]
+            n0 = jnp.where(
+                in_sus,
+                jnp.clip(
+                    S - 1 - (st["sustain_ends_at"] - t0), 0, S - 1
+                ).astype(jnp.float32),
+                jnp.float32(0.0),
+            )
+            kst = jnp.stack(
+                [
+                    st["stage"].astype(jnp.float32),
+                    st["env"].astype(jnp.float32),
+                    n0,
+                    jnp.float32(0.0),
+                ]
+            )
+            y, ns = adsr_scan_pallas(
+                trig.astype(jnp.float32), kst, sustain_samples=S, **kw
+            )
+            t_next = t0 + trig.shape[0]
+            ends = jnp.where(
+                ns[0] == float(_SUSTAIN),
+                t_next + S - 1 - ns[2].astype(prec.INDEX),
+                st["sustain_ends_at"],
+            ).astype(prec.INDEX)
+            ctx.set_state(
+                self,
+                {
+                    "stage": ns[0].astype(jnp.int32),
+                    "env": env_of_state(ns, **kw).astype(prec.WIDE),
+                    "sustain_ends_at": ends,
+                },
+            )
+            return y.astype(prec.AUDIO)[:, None]
 
         def step(carry, inp):
             g, now = inp
