@@ -161,6 +161,46 @@ class ReversePitchEchoPE(ProcessingElement):
         min_block = self._MIN_BLOCK_SAMPLES
         max_block = max_delay - 1
 
+        # Sequential Mosaic kernel when the ring buffers fit VMEM
+        # (cap <= ~9500 rows; shrink max_delay_seconds to engage it).
+        if (
+            jax.default_backend() == "tpu"
+            and C <= 128
+            and (2 * max_delay + pitch_len + 2) * 512 <= 10 * 2**20
+        ):
+            from pygmu2_tpu.ops.reverse_echo_pallas import (
+                MISC_FIELDS,
+                reverse_echo_scan_pallas,
+            )
+
+            misc = jnp.stack(
+                [st[k].astype(jnp.float32) for k in MISC_FIELDS]
+            )
+            wet, ba2, bb2, pb2, misc2 = reverse_echo_scan_pallas(
+                x.astype(jnp.float32),
+                block_v, pitch_v, fb_v, alt_v,
+                st["buf_a"], st["buf_b"], st["pitch_buf"], misc,
+                sr=sr, plen=pitch_len, cap=max_delay,
+                min_block=min_block, max_block=max_block,
+                smooth_alpha=smooth_alpha,
+            )
+            new_st = {
+                "buf_a": ba2,
+                "buf_b": bb2,
+                "pitch_buf": pb2,
+                "cur_is_a": misc2[0].astype(jnp.int32),
+                "p_wpos": misc2[1].astype(jnp.int32),
+                "p_rpos": misc2[2],
+                "w_idx": misc2[3].astype(jnp.int32),
+                "r_idx": misc2[4].astype(jnp.int32),
+                "smoothed": misc2[5],
+                "cur_block": misc2[6].astype(jnp.int32),
+                "prev_block": misc2[7].astype(jnp.int32),
+                "reverse": misc2[8].astype(jnp.int32),
+            }
+            ctx.set_state(self, new_st)
+            return wet.astype(prec.AUDIO)
+
         def step(s, inp):
             xi, blk, ratio, fb, alt = inp
 

@@ -81,6 +81,171 @@ def render_time_sharded(root, start: int, total: int, mesh: Mesh, block: int = 8
     return np.asarray(out)[:total]
 
 
+def render_time_sharded_stateful(
+    root, start: int, total: int, mesh: Mesh, block: int = 8192,
+    halo: int = 0,
+):
+    """Render a STATEFUL graph with the block-time axis sharded over the
+    mesh — the sequence-parallel analog for IIR state chains (SURVEY §5
+    long-context: halo/tail exchange over ICI).
+
+    Two modes:
+
+    - ``halo == 0`` (default, **exact**): each device owns a contiguous
+      span; the carried state pytree is relayed along the device ring
+      with ``ppermute`` — device d starts from exactly the state device
+      d-1 ended with, so the output matches the single-device render
+      bit-for-bit. Rounds serialize on the state chain (wall-clock does
+      not drop), but inputs, outputs, and upstream graph memory are
+      sharded — timelines larger than one device's HBM become
+      renderable.
+
+    - ``halo > 0`` (**parallel, approximate**): every device renders
+      ``halo`` warm-up samples from a fresh state before its span and
+      discards them. No communication at all; valid ONLY when every
+      stateful node's state is *decaying* (IIR tails, envelope
+      followers — a few thousand samples of halo reaches f32 round-off
+      for typical filters). Non-decaying state — oscillator phase
+      accumulators, TimeWarp positions, trigger-restart origins —
+      depends on where rendering started and will NOT converge: use
+      the exact mode for such graphs. Note the first device pre-rolls
+      t < start, so a source defined there changes the cold-start
+      transient within the first span.
+
+    Returns a host float32 array (total, C).
+    """
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    span = -(-total // n_dev)
+    span = -(-span // block) * block
+    n_chunks = span // block
+    halo_blocks = -(-halo // block) if halo else 0
+
+    prog = engine.get_program(root, block)
+    from jax.experimental.shard_map import shard_map
+
+    dev_starts = start + span * jnp.arange(n_dev, dtype=prec.INDEX)
+
+    if halo:
+        def shard_fn(my_start):
+            s0 = my_start[0] - halo_blocks * block
+
+            def step(carry, k):
+                st, first = carry
+                bs = s0 + k * block
+                out_f, st_f = prog._run_first(bs)
+                out_s, st_s = prog._run_step(bs, st)
+                out = jnp.where(first, out_f, out_s)
+                st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(first, a, b), st_f, st_s
+                )
+                return (st, jnp.zeros_like(first)), out
+
+            def _vary(x):
+                if axis in getattr(jax.typeof(x), "vma", frozenset()):
+                    return x
+                return jax.lax.pvary(x, (axis,))
+
+            dummy = jax.tree_util.tree_map(
+                lambda s: _vary(jnp.zeros(s.shape, s.dtype)),
+                jax.eval_shape(prog._run_first, dev_starts[0])[1],
+            )
+            ks = jnp.arange(halo_blocks + n_chunks, dtype=prec.INDEX)
+            _, outs = jax.lax.scan(
+                step, (dummy, _vary(jnp.asarray(True))), ks
+            )
+            return outs[halo_blocks:].reshape(span, -1)
+
+        fn = jax.jit(
+            shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(axis),), out_specs=P(axis),
+            )
+        )
+        out = fn(dev_starts)
+        return np.asarray(out)[:total]
+
+    # ---- exact mode: ring state relay ----
+    state_shapes = jax.eval_shape(prog._run_first, dev_starts[0])[1]
+    dummy_state = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), state_shapes
+    )
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def shard_fn(my_start):
+        my_idx = jax.lax.axis_index(axis)
+        s0 = my_start[0]
+
+        def _vary(x):
+            # mark device-varying where needed (fresh/zero leaves are
+            # replicated; input-derived leaves are already varying)
+            if axis in getattr(jax.typeof(x), "vma", frozenset()):
+                return x
+            return jax.lax.pvary(x, (axis,))
+
+        def compute_span(state_in):
+            # device 0 initializes fresh; others continue from the relay
+            def from_first(_):
+                out0, st = prog._run_first(s0)
+                return jax.tree_util.tree_map(_vary, (out0, st))
+
+            def from_state(st_in):
+                return prog._run_step(s0, st_in)
+
+            out0, st = jax.lax.cond(
+                my_idx == 0, from_first, from_state, state_in
+            )
+
+            def step(carry, k):
+                out, new = prog._run_step(s0 + k * block, carry)
+                return new, out
+
+            if n_chunks > 1:
+                ks = jnp.arange(1, n_chunks, dtype=prec.INDEX)
+                st, rest = jax.lax.scan(step, st, ks)
+                outs = jnp.concatenate([out0[None], rest], axis=0)
+            else:
+                outs = out0[None]
+            return outs.reshape(span, -1), st
+
+        def round_body(r, carry):
+            state, my_out = carry
+            active = my_idx == r
+
+            def do(args):
+                state_in, _ = args
+                return compute_span(state_in)
+
+            def skip(args):
+                state_in, out_prev = args
+                return out_prev, state_in
+
+            out_new, state_new = jax.lax.cond(
+                active, do, skip, (state, my_out)
+            )
+            my_out = jnp.where(active, out_new, my_out)
+            state = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis, perm), state_new
+            )
+            return state, my_out
+
+        C = root.channel_count() or 1
+        my_out0 = _vary(jnp.zeros((span, C), prec.AUDIO))
+        state0 = jax.tree_util.tree_map(_vary, dummy_state)
+        _, my_out = jax.lax.fori_loop(
+            0, n_dev, round_body, (state0, my_out0)
+        )
+        return my_out
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+        )
+    )
+    out = fn(dev_starts)
+    return np.asarray(out)[:total]
+
+
 # ---- voice-parallel SoundFont rendering --------------------------------
 
 

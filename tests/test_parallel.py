@@ -11,6 +11,7 @@ from pygmu2_tpu.parallel.render import (
     default_mesh,
     render_midi_sharded,
     render_time_sharded,
+    render_time_sharded_stateful,
 )
 
 needs_mesh = pytest.mark.skipif(
@@ -32,6 +33,49 @@ class TestTimeSharded:
         mesh = default_mesh(8, axis="t")
         with pytest.raises(ValueError):
             render_time_sharded(pg.NoisePE(seed=1, mode=pg.NoiseMode.PINK), 0, 100, mesh)
+
+
+@needs_mesh
+class TestTimeShardedStateful:
+    def _graph(self):
+        # a stateful chain: two cascaded biquads over a modulated sine
+        # (the modulated path carries a phase accumulator)
+        src = pg.SinePE(frequency=pg.ConstantPE(220.0), amplitude=0.7)
+        return pg.BiquadPE(pg.BiquadPE(src, 3000.0, 1.2), 800.0, 0.9)
+
+    def test_exact_relay_matches_single_device(self):
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_stateful(
+            self._graph(), 0, total, mesh, block=1024
+        )
+        engine.reset_graph_states(self._graph())
+        single = np.asarray(
+            engine.render_scan(self._graph(), 0, total, 1024)
+        )
+        np.testing.assert_allclose(sharded, single, atol=0.0)
+
+    def test_halo_mode_converges(self):
+        # halo mode requires *decaying* state only: a pure source (the
+        # scalar-frequency sine has closed-form phase) into IIR filters.
+        # A phase accumulator (modulated sine) would never converge —
+        # its phase depends on where rendering started.
+        def graph():
+            src = pg.SinePE(frequency=220.0, amplitude=0.7)
+            return pg.BiquadPE(pg.BiquadPE(src, 3000.0, 1.2), 800.0, 0.9)
+
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_stateful(
+            graph(), 0, total, mesh, block=1024, halo=4096
+        )
+        single = np.asarray(engine.render_scan(graph(), 0, total, 1024))
+        # the cold-start transient lives only in the first device's span
+        # (its halo pre-rolls t < 0 where the sine is still defined);
+        # compare beyond it
+        np.testing.assert_allclose(
+            sharded[2048:], single[2048:], atol=1e-5
+        )
 
 
 @needs_mesh
