@@ -127,6 +127,14 @@ class EnvelopePE(ProcessingElement):
             y = affine_scan_1(
                 jnp.full_like(x, 1.0 - atk), atk * x, env0
             )
+        elif jax.default_backend() == "tpu" and x.shape[1] <= 128:
+            # asymmetric follower: sequential Mosaic kernel
+            from pygmu2_tpu.ops.envelope_pallas import envelope_ar_pallas
+
+            y, _ef = envelope_ar_pallas(
+                x.astype(jnp.float32), env0.astype(jnp.float32),
+                atk=atk, rel=rel,
+            )
         else:
             def step(env, xi):
                 coeff = jnp.where(xi > env, atk, rel)

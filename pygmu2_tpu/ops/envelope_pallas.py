@@ -1,0 +1,87 @@
+"""Pallas TPU kernel for the asymmetric envelope follower.
+
+The attack/release follower with attack != release is a data-dependent
+per-sample recurrence (the coefficient switches on the comparison
+x > env — reference: envelope_pe.py:259-271, `_envelope_ar_numba`).
+The symmetric case is a linear one-pole and stays on the parallel
+affine scan; this kernel handles the asymmetric case as a Mosaic
+``fori_loop`` with the envelope resident in VMEM scratch
+(the ``ops/ladder_pallas.py`` pattern), channels riding the lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _make_kernel(atk: float, rel: float, chunk: int, total_rows: int):
+    def kernel(x_ref, env_in, y_ref, env_out, env):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            env[:] = env_in[:]
+
+        def body(j, _):
+            row = i * jnp.int32(chunk) + j
+
+            @pl.when(row < jnp.int32(total_rows))
+            def _process():
+                xi = x_ref[pl.ds(j, 1), :]  # (1, 128)
+                e = env[pl.ds(0, 1), :]
+                coeff = jnp.where(
+                    xi > e, jnp.float32(atk), jnp.float32(rel)
+                )
+                e = e + coeff * (xi - e)
+                y_ref[pl.ds(j, 1), :] = e
+                env[pl.ds(0, 1), :] = e
+
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body, jnp.int32(0))
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _emit():
+            env_out[:] = env[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("atk", "rel", "chunk", "interpret")
+)
+def envelope_ar_pallas(x, env0, *, atk, rel, chunk: int = 1024,
+                       interpret: bool = False):
+    """x: (T, C) rectified input; env0: (C,) carried envelope.
+    Returns (env (T, C), env_final (C,))."""
+    T, C = x.shape
+    assert C <= _LANES
+    padC = _LANES - C
+    Tp = -(-T // chunk) * chunk
+    xp = jnp.pad(x, ((0, Tp - T), (0, padC)))
+    e0 = jnp.pad(env0, (0, padC))[None, :]
+
+    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                       memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM)
+    y, ef = pl.pallas_call(
+        _make_kernel(atk, rel, chunk, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
+        ),
+        grid=(Tp // chunk,),
+        in_specs=[big, espec],
+        out_specs=(big, espec),
+        scratch_shapes=[pltpu.VMEM((1, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(xp, e0)
+    return y[:T, :C], ef[0, :C]

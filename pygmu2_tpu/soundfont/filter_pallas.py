@@ -63,58 +63,62 @@ def _filter_mix_math(x, row, pos, N, carry, tail):
     [x[-2]; x[-1]].  Returns (ml, mr, new_carry, new_tail) where
     ml/mr are the gain-weighted per-voice outputs (C, P) (sum over
     lanes = the stereo mix).
+
+    Coefficients are constant per voice within a chunk (chunk divides
+    the MIDI block), so the Kogge-Stone scan's transition matrices are
+    powers of ONE 2x2 companion matrix per voice: the per-stage matrix
+    products collapse to (1, P) scalar updates and only the state-pair
+    vector update touches (C, P) data — ~2.5x fewer VPU ops than the
+    general varying-coefficient scan. An epoch boundary can only land
+    on the chunk's first sample (pos == 0), where it zeroes the
+    incoming carry and FIR tail instead of gating transitions
+    mid-chunk.
     """
     C, P = x.shape
-    # masks as 0/1 float32 — Mosaic cannot concat/slice bool vectors
-    boundary_f = (pos == 0).astype(jnp.float32) * (
-        row("freshf") > 0.5
-    ).astype(jnp.float32)
+    # epoch boundary: only possible at the chunk's first sample
+    # (as 0/1 f32 — Mosaic cannot concat/slice bool vectors)
+    first_f = (pos[0:1, :] == 0).astype(jnp.float32)
+    ff = first_f * (row("freshf") > 0.5).astype(jnp.float32)  # (1, P)
+    keep = 1.0 - ff
 
-    x1 = jnp.concatenate([tail[1:2, :], x[: C - 1]], axis=0)
-    x2 = jnp.concatenate([tail[0:2, :], x[: C - 2]], axis=0)
-    b1ok = 1.0 - boundary_f
-    b2ok = b1ok * jnp.concatenate(
-        [jnp.ones((1, P), jnp.float32), b1ok[: C - 1]], axis=0
-    )
-    fir = (
-        row("b0") * x
-        + row("b1") * (b1ok * x1)
-        + row("b2") * (b2ok * x2)
-    )
-    keep = b1ok
-    m11 = jnp.broadcast_to(-row("a1") * keep, (C, P))
-    m12 = jnp.broadcast_to(-row("a2") * keep, (C, P))
-    m21 = jnp.broadcast_to(keep, (C, P))
-    m22 = jnp.zeros((C, P), jnp.float32)
-    v1 = fir
-    v2 = jnp.zeros((C, P), jnp.float32)
+    tail_k = tail * keep  # boundary forgets the previous block's input
+    x1 = jnp.concatenate([tail_k[1:2, :], x[: C - 1]], axis=0)
+    x2 = jnp.concatenate([tail_k[0:2, :], x[: C - 2]], axis=0)
+    fir = row("b0") * x + row("b1") * x1 + row("b2") * x2
 
+    # fold the (boundary-masked) carried state into the first input:
+    # u[0] += A @ c  ->  scan computes y[n] = sum A^(n-k) u[k] + A^(n+1) c
+    a11 = -row("a1")
+    a12 = -row("a2")
+    c1 = carry[0:1, :] * keep
+    c2 = carry[1:2, :] * keep
+    v1 = jnp.concatenate([fir[0:1, :] + a11 * c1 + a12 * c2, fir[1:, :]], 0)
+    v2 = jnp.concatenate([c1, jnp.zeros((C - 1, P), jnp.float32)], 0)
+
+    # constant-A Kogge-Stone: per stage the matrix is A^(2^s) — four
+    # (1, P) rows updated by scalar squaring; the (C, P) work is just
+    # the shifted state-pair update.
+    a21 = jnp.ones((1, P), jnp.float32)
+    a22 = jnp.zeros((1, P), jnp.float32)
     s = 1
     while s < C:
-        def sh(arr, fill):
-            top = jnp.full((s, P), fill, arr.dtype)
+        def sh(arr):
+            top = jnp.zeros((s, P), arr.dtype)
             return jnp.concatenate([top, arr[:-s]], axis=0)
 
-        p11 = sh(m11, 1.0)
-        p12 = sh(m12, 0.0)
-        p21 = sh(m21, 0.0)
-        p22 = sh(m22, 1.0)
-        q1 = sh(v1, 0.0)
-        q2 = sh(v2, 0.0)
-        n11 = m11 * p11 + m12 * p21
-        n12 = m11 * p12 + m12 * p22
-        n21 = m21 * p11 + m22 * p21
-        n22 = m21 * p12 + m22 * p22
-        v1 = m11 * q1 + m12 * q2 + v1
-        v2 = m21 * q1 + m22 * q2 + v2
-        m11, m12, m21, m22 = n11, n12, n21, n22
+        q1 = sh(v1)
+        q2 = sh(v2)
+        v1 = a11 * q1 + a12 * q2 + v1
+        v2 = a21 * q1 + a22 * q2 + v2
+        n11 = a11 * a11 + a12 * a21
+        n12 = a11 * a12 + a12 * a22
+        n21 = a21 * a11 + a22 * a21
+        n22 = a21 * a12 + a22 * a22
+        a11, a12, a21, a22 = n11, n12, n21, n22
         s *= 2
 
-    c1 = carry[0:1, :]
-    c2 = carry[1:2, :]
-    y = m11 * c1 + m12 * c2 + v1
-    y2 = m21 * c1 + m22 * c2 + v2
-    new_carry = jnp.concatenate([y[C - 1 : C, :], y2[C - 1 : C, :]], axis=0)
+    y = v1
+    new_carry = jnp.concatenate([v1[C - 1 : C, :], v2[C - 1 : C, :]], axis=0)
     new_tail = x[C - 2 : C, :]
 
     ramp = pos.astype(jnp.float32) * (1.0 / N)
