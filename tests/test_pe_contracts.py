@@ -696,3 +696,74 @@ class TestWavWriterPEContract(StatefulMixin):
 
     def make(self):
         return pg.WavWriterPE(arr(2048, seed=12), "/tmp/pe_contract_out.wav")
+
+
+# ---- host-bridged sources ------------------------------------------------
+
+
+def _sf2_file():
+    from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
+
+    path = "/tmp/pe_contract_font.sf2"
+    with open(path, "wb") as f:
+        f.write(
+            build_sf2(
+                [{"data": make_looped_sample(261.63), "rate": SR,
+                  "root_key": 60, "loop": True}]
+            )
+        )
+    return path
+
+
+class TestMeltysynthPEContract(BasicsMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 2, 0, "infinite"
+
+    def make(self):
+        return pg.MeltysynthPE(_sf2_file(), block_size=64)
+
+    def test_renders_notes_after_midi(self):
+        pe = self.make()
+        r = pg.NullRenderer(SR)
+        c = pg.CropPE(pe, 0, 256)
+        r.set_source(c)
+        r.start()
+        pe.synthesizer.process_midi_message(0, 0x90, 60, 100)
+        out = np.asarray(c.render(0, 256).data)
+        r.stop()
+        assert out.shape == (256, 2)
+        assert np.abs(out).max() > 1e-4
+
+    def test_silent_without_events(self):
+        pe = self.make()
+        r = pg.NullRenderer(SR)
+        c = pg.CropPE(pe, 0, 256)
+        r.set_source(c)
+        r.start()
+        out = np.asarray(c.render(0, 256).data)
+        r.stop()
+        assert np.abs(out).max() == 0.0
+
+
+class TestMidiInPEContract(BasicsMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 0, "infinite"
+
+    def make(self):
+        return pg.MidiInPE(require_mido=False)
+
+    def test_emits_silence_and_drains_queue(self):
+        got = []
+        pe = pg.MidiInPE(
+            require_mido=False,
+            callback=lambda start, msg: got.append((start, msg)),
+        )
+        r = pg.NullRenderer(SR)
+        c = pg.CropPE(pe, 0, 128)
+        r.set_source(c)
+        r.start()
+        pe.feed("note_on_60")
+        pe.feed("note_off_60")
+        out = np.asarray(c.render(0, 128).data)
+        r.stop()
+        assert np.abs(out).max() == 0.0  # MidiInPE emits silence
+        assert [m for _s, m in got] == ["note_on_60", "note_off_60"]
+        assert all(s == 0 for s, _m in got)  # block_start passed through
