@@ -334,7 +334,7 @@ def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
     jax.jit, static_argnames=("N", "L_true", "chunk", "interpret")
 )
 def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
-                               chunk: int = 128, interpret: bool = False):
+                               chunk: int = 512, interpret: bool = False):
     """Fully fused audio-rate pass: oscillator + biquad + gains + mix.
 
     rows: dict of (B, P) control planes —
@@ -347,6 +347,7 @@ def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
     """
     B, P = rows["ratio"].shape
     T = B * N
+    chunk = min(chunk, N)  # chunk must divide the MIDI block
     assert N % chunk == 0 and T <= OSC_KERNEL_MAX_T
     n_chunks = T // chunk
     n_rows = -(-L_true // 128)
