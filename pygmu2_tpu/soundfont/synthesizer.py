@@ -1036,27 +1036,49 @@ class Synthesizer:
         n_blocks = int(math.ceil(seconds * self._sample_rate / N))
         self.reset()
 
-        snaps_par: list[dict] = []
-        snaps_ch: list[dict] = []
-        snap_idx = np.zeros(n_blocks, np.int32)
-
-        msg_i = 0
+        # Event-driven simulation: messages execute at the first block
+        # whose start time is >= their timestamp (the block loop this
+        # replaces processed `times[i] <= t_block` at each block); voice
+        # ages advance in jumps between event blocks since the active
+        # set only changes at events.
         messages, times = midi_file.messages, midi_file.times
-        dirty = True
-        for b in range(n_blocks):
-            t_block = b * N / self._sample_rate
-            while msg_i < len(messages) and times[msg_i] <= t_block:
-                m = messages[msg_i]
-                if m.type == MidiMessageType.NORMAL:
-                    self.process_midi_message(m.channel, m.command, m.data1, m.data2)
-                    dirty = True
-                msg_i += 1
-            if dirty or not snaps_par:
+        block_dur = N / self._sample_rate
+        normal = [
+            (t, m)
+            for t, m in zip(times, messages)
+            if m.type == MidiMessageType.NORMAL
+        ]
+        ev_blocks = [int(math.ceil(t / block_dur - 1e-12)) for t, _m in normal]
+
+        # block 0 always snapshots (the block loop this replaces did);
+        # if events land on block 0 the replace branch below overwrites
+        snaps_par = [{k: v.copy() for k, v in self._par.items()}]
+        snaps_ch = [self._channel_arrays()]
+        snap_blocks = [0]
+        prev_b = 0
+        i = 0
+        while i < len(normal):
+            b = ev_blocks[i]
+            if b >= n_blocks:
+                break
+            self._host_voice_blocks[self._host_active] += b - prev_b
+            prev_b = b
+            while i < len(normal) and ev_blocks[i] == b:
+                m = normal[i][1]
+                self.process_midi_message(m.channel, m.command, m.data1, m.data2)
+                i += 1
+            if snap_blocks[-1] == b:
+                snaps_par[-1] = {k: v.copy() for k, v in self._par.items()}
+                snaps_ch[-1] = self._channel_arrays()
+            else:
                 snaps_par.append({k: v.copy() for k, v in self._par.items()})
                 snaps_ch.append(self._channel_arrays())
-                dirty = False
-            snap_idx[b] = len(snaps_par) - 1
-            self._host_voice_blocks[self._host_active] += 1
+                snap_blocks.append(b)
+        self._host_voice_blocks[self._host_active] += n_blocks - prev_b
+
+        snap_idx = (
+            np.searchsorted(np.asarray(snap_blocks), np.arange(n_blocks), "right") - 1
+        ).astype(np.int32)
 
         par_stack = {
             k: np.stack([s[k] for s in snaps_par]) for k in self._par
