@@ -5,9 +5,15 @@ Reference counterpart: examples/05_flanging.py.
 
 from _common import SAMPLE_RATE, finish, pg
 
-src = pg.CachePE(pg.NoisePE(seed=7))
-lfo = pg.SinePE(frequency=0.3, amplitude=40.0)
-delay_mod = pg.MixPE(pg.ConstantPE(50.0), lfo)  # 50 ± 40 samples
-wet = pg.DelayPE(src, delay_mod, max_delay=128)
-graph = pg.CropPE(pg.GainPE(pg.MixPE(src, wet), 0.4), 0, 6 * SAMPLE_RATE)
-finish(graph, "05_flanging")
+
+def build():
+    src = pg.CachePE(pg.NoisePE(seed=7))
+    lfo = pg.SinePE(frequency=0.3, amplitude=40.0)
+    delay_mod = pg.MixPE(pg.ConstantPE(50.0), lfo)  # 50 ± 40 samples
+    wet = pg.DelayPE(src, delay_mod, max_delay=128)
+    graph = pg.CropPE(pg.GainPE(pg.MixPE(src, wet), 0.4), 0, 6 * SAMPLE_RATE)
+    return graph
+
+
+if __name__ == "__main__":
+    finish(build(), "05_flanging")

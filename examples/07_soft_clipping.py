@@ -7,8 +7,14 @@ import jax.numpy as jnp
 
 from _common import SAMPLE_RATE, finish, pg
 
-hot = pg.GainPE(pg.SinePE(frequency=110.0), 4.0)
-graph = pg.CropPE(
-    pg.GainPE(pg.TransformPE(hot, jnp.tanh), 0.5), 0, 4 * SAMPLE_RATE
-)
-finish(graph, "07_soft_clipping")
+
+def build():
+    hot = pg.GainPE(pg.SinePE(frequency=110.0), 4.0)
+    graph = pg.CropPE(
+        pg.GainPE(pg.TransformPE(hot, jnp.tanh), 0.5), 0, 4 * SAMPLE_RATE
+    )
+    return graph
+
+
+if __name__ == "__main__":
+    finish(build(), "07_soft_clipping")
