@@ -133,3 +133,67 @@ class TestFilterParity:
             return m.SVFilterPE(m.ArrayPE(sig), sweep, 1.5)
 
         assert_parity(build, duration=1024, tol=5e-4)
+
+
+class TestCompositionParity:
+    """Whole-piece graphs through both implementations — the strongest
+    end-to-end gate: multiple PE families interacting (scheduling,
+    filters, dynamics, convolution) in one render."""
+
+    def test_plucked_filtered_sequence(self):
+        def build(m):
+            parts = []
+            for i, n in enumerate((57, 60, 64)):
+                f = 220.0 * 2.0 ** ((n - 57) / 12.0)
+                pluck = m.SlicePE(
+                    m.KarplusStrongPE(f, rho=0.995, seed=i), 0, 1500
+                )
+                parts.append((pluck, i * 800))
+            line = m.SequencePE(*parts)
+            return m.BiquadPE(line, 3000.0, 0.9)
+
+        assert_parity(build, duration=4000, tol=5e-4)
+
+    def test_reverb_over_mixed_oscillators(self):
+        def build(m):
+            import numpy as np
+
+            rng = np.random.default_rng(4)
+            ir = (
+                rng.uniform(-1, 1, 600)
+                * np.exp(-np.arange(600) / 150.0)
+            ).astype(np.float32)
+            chord = m.MixPE(
+                m.SinePE(frequency=220.0, amplitude=0.3),
+                m.SinePE(frequency=277.18, amplitude=0.3),
+            )
+            dry = m.CropPE(chord, 0, 2500)
+            return m.ReverbPE(dry, m.ArrayPE(ir), mix=0.4)
+
+        assert_parity(build, duration=3000, tol=5e-4)
+
+    def test_supersaw_through_compressor(self):
+        # NB: a hard-gated source drives the reference's compressor to
+        # NaN (log10 of an exactly-zero envelope); keep the source
+        # non-silent for a meaningful comparison.
+        def build(m):
+            saw = m.SuperSawPE(110.0, voices=5, detune_cents=12.0, seed=6)
+            body = m.CropPE(saw, 0, 4000)
+            return m.CompressorPE(body, threshold=-18.0, ratio=5.0)
+
+        assert_parity(build, duration=4000, tol=2e-3)
+
+    def test_delay_feedback_texture(self):
+        def build(m):
+            ping = m.SlicePE(
+                m.SinePE(frequency=660.0, amplitude=0.6), 0, 300,
+                fade_out_seconds=0.002,
+            )
+            line = m.MixPE(
+                ping,
+                m.GainPE(m.DelayPE(ping, 700), 0.6),
+                m.GainPE(m.DelayPE(ping, 1400), 0.36),
+            )
+            return m.SVFilterPE(line, 2500.0, 1.2)
+
+        assert_parity(build, duration=2500, tol=5e-4)
