@@ -174,3 +174,58 @@ def test_osc_fused_pitch_bend():
          (0.035, 0x80, 57, 0)],
         0.05,
     )
+
+
+def test_osc_fused_loop_until_note_off():
+    import struct
+
+    from pygmu2_tpu.soundfont.build import make_looped_sample, build_sf2
+
+    font_bytes = build_sf2(
+        [{"data": make_looped_sample(261.63, cycles=8), "rate": 44100,
+          "root_key": 60, "loop": True, "release_tc": -3000}]
+    )
+    # patch loop mode to LOOP_UNTIL_NOTE_OFF (=3) in the igen record
+    font_bytes = font_bytes.replace(
+        struct.pack("<Hh", 54, 1), struct.pack("<Hh", 54, 3)
+    )
+    from pygmu2_tpu.soundfont import (
+        MidiFile, SoundFont, Synthesizer, SynthesizerSettings,
+    )
+    from pygmu2_tpu.soundfont.offline import (
+        _audio_pass, _osc_rows, compute_control,
+    )
+    from pygmu2_tpu.soundfont.filter_pallas import osc_filter_gain_mix_pallas
+    from tests.test_soundfont import build_midi
+
+    N = 128
+    synth = Synthesizer(
+        SoundFont(font_bytes),
+        SynthesizerSettings(block_size=N, maximum_polyphony=128),
+    )
+    midi = MidiFile(build_midi([(0.0, 0x90, 60, 100), (0.02, 0x80, 60, 0)]))
+    par_np, ch_np, snap_idx, _nb = synth.build_schedule(midi, 0.06)
+    ctrl = compute_control(synth, par_np, ch_np, snap_idx)
+    ctrl = {k: jnp.asarray(v) for k, v in ctrl.items()}
+    wave = synth._wave
+    m = jnp.float32(synth.master_volume)
+    alive = ctrl["alive"]
+    rows = {
+        "b0": ctrl["b0"], "b1": ctrl["b1"], "b2": ctrl["b2"],
+        "a1": ctrl["a1"], "a2": ctrl["a2"],
+        "freshf": ctrl["fresh"].astype(jnp.float32),
+        "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
+        "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
+        "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
+        "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
+    }
+    rows.update(_osc_rows(ctrl, wave))
+    ref = _audio_pass(ctrl, wave, N, float(synth.master_volume))
+    got = osc_filter_gain_mix_pallas(
+        rows, wave, N, int(wave.shape[0]), interpret=True
+    )
+    scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-5 * scale
+    )
+    assert float(jnp.max(jnp.abs(ref))) > 1e-4

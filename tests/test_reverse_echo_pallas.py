@@ -86,3 +86,52 @@ def test_kernel_chunked_state_carry():
     one = _run_kernel(x, blk, ratio, fb, alt, cap)
     two = _run_kernel(x, blk, ratio, fb, alt, cap, chunks=(333,))
     np.testing.assert_allclose(two, one, atol=1e-6)
+
+
+def test_kernel_modulated_params_match_scan():
+    """feedback and pitch ratio as per-sample vectors (PE-modulated)."""
+    rng = np.random.default_rng(6)
+    T = 700
+    x = (rng.standard_normal((T, 1)) * 0.3).astype(np.float32)
+    cap = int(0.05 * SR)
+    plen = max(2, int(SR / 60))
+    t = np.arange(T, dtype=np.float32)
+    ratio = (1.0 + 0.5 * np.sin(t / 97.0)).astype(np.float32)
+    fb = (0.4 + 0.3 * np.sin(t / 131.0)).astype(np.float32)
+    blk = np.full(T, 0.02, np.float32)
+    alt = np.zeros(T, np.float32)
+
+    import jax
+
+    misc = np.zeros(9, np.float32)
+    init_block = float(min(max(0.02 * SR, 64), cap - 1))
+    misc[0], misc[5], misc[6], misc[8] = 1, init_block, int(init_block), 1
+
+    def run_scan():
+        # drive the PE's lax.scan path directly on CPU by rendering a
+        # graph with modulated params
+        pg.set_sample_rate(SR)
+        pe = pg.ReversePitchEchoPE(
+            pg.ArrayPE(x),
+            block_seconds=0.02,
+            pitch_ratio=pg.ArrayPE(ratio[:, None]),
+            feedback=pg.ArrayPE(fb[:, None]),
+            max_delay_seconds=0.05,
+        )
+        return np.asarray(pg.render_to_array(pg.CropPE(pe, 0, T)))
+
+    ref = run_scan()
+    # kernel path: same pre-processed control vectors as _trace builds
+    fb_k = np.clip(np.nan_to_num(fb), -0.995, 0.995)
+    ratio_k = np.maximum(ratio, 0.001)
+    wet, *_ = reverse_echo_scan_pallas(
+        jnp.asarray(x), jnp.asarray(blk), jnp.asarray(ratio_k),
+        jnp.asarray(fb_k), jnp.asarray(alt),
+        jnp.zeros((cap, 1), jnp.float32), jnp.zeros((cap, 1), jnp.float32),
+        jnp.zeros((plen, 1), jnp.float32), jnp.asarray(misc),
+        sr=float(SR), plen=plen, cap=cap, min_block=64,
+        max_block=cap - 1, smooth_alpha=1 / 2400, chunk=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(wet), ref, atol=2e-5)
+    assert np.abs(ref).max() > 1e-3
