@@ -26,7 +26,7 @@ Channel, envelopes, LFOs, Oscillator, BiQuadFilter). The redesign:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -479,9 +479,14 @@ class Synthesizer:
                 for inst_region in preset_region.instrument.regions:
                     if inst_region.contains(key, velocity):
                         # Generator resolution is pure in (regions, key,
-                        # velocity); notes repeat constantly, so memoize
-                        # (channel is only *stored* in the result).
-                        ck = (id(preset_region), id(inst_region), key, velocity)
+                        # velocity); notes repeat constantly, so memoize.
+                        # channel is part of the key so the cached record
+                        # is used verbatim (a dataclasses.replace per
+                        # note_on dominated the schedule pass).
+                        ck = (
+                            id(preset_region), id(inst_region), key,
+                            velocity, channel,
+                        )
                         params = self._vp_cache.get(ck)
                         if params is None:
                             pair = RegionPair(preset_region, inst_region)
@@ -489,8 +494,6 @@ class Synthesizer:
                                 pair, channel, key, velocity, self._sample_rate
                             )
                             self._vp_cache[ck] = params
-                        if params.channel != channel:
-                            params = replace(params, channel=channel)
                         slot = self._allocate_slot(params)
                         self._write_slot(slot, params)
 
