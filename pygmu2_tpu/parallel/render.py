@@ -100,6 +100,10 @@ def render_time_sharded_stateful(
       sharded — timelines larger than one device's HBM become
       renderable.
 
+      NB: unlike ``engine.render_scan`` this does not scatter the final
+      state back onto the graph instances — each call renders its span
+      from the provided start with fresh initial state on device 0.
+
     - ``halo > 0`` (**parallel, approximate**): every device renders
       ``halo`` warm-up samples from a fresh state before its span and
       discards them. No communication at all; valid ONLY when every
