@@ -22,7 +22,11 @@ SR = 44100
 
 
 def build_midi(events, resolution=480, tempo_bpm=120):
-    """events: list of (time_seconds, status, data1, data2)."""
+    """events: list of (time_seconds, status, data1, data2), time-sorted
+    (a negative delta would loop varint forever)."""
+    assert all(a[0] <= b[0] for a, b in zip(events, events[1:])), (
+        "build_midi requires time-sorted events"
+    )
     body = b""
     tick_per_sec = resolution * tempo_bpm / 60.0
     last_tick = 0

@@ -115,3 +115,58 @@ def test_device_control_matches_host_control():
     a = render_midi_offline_hostctl(mk(), midi, 0.7)
     b = render_midi_offline(mk(), midi, 0.7)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestScheduleFuzz:
+    """Randomized MIDI scores through both renderers — adversarial
+    coverage for the event-driven build_schedule (events on block
+    boundaries, beyond the render end, dense retriggers, empty)."""
+
+    def _font(self):
+        return build_sf2(
+            [{"data": make_looped_sample(261.63, harmonics=3), "rate": SR,
+              "root_key": 60, "loop": True, "release_tc": -5000}]
+        )
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_scores(self, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        block = 64  # one shape -> one compile reused across seeds
+        seconds = 0.6
+        events = []
+        t = 0.0
+        for _ in range(rng.integers(3, 25)):
+            t += float(rng.uniform(0, 0.08))
+            kind = rng.integers(0, 5)
+            ch = int(rng.integers(0, 3))
+            key = int(rng.integers(40, 90))
+            if kind <= 1:
+                events.append((t, 0x90 | ch, key, int(rng.integers(20, 127))))
+            elif kind == 2:
+                events.append((t, 0x80 | ch, key, 0))
+            elif kind == 3:  # pitch bend
+                events.append((t, 0xE0 | ch, int(rng.integers(0, 128)),
+                               int(rng.integers(0, 128))))
+            else:  # volume
+                events.append((t, 0xB0 | ch, 7, int(rng.integers(30, 127))))
+        # events exactly on a block boundary + beyond the render end
+        events.append((block / SR * 2, 0x90, 60, 100))
+        events.append((seconds + 0.2, 0x90, 72, 100))
+        events.sort(key=lambda e: e[0])
+        _compare(self._font(), events, seconds, block=block, poly=16,
+                 atol=5e-5)
+
+    def test_empty_midi(self):
+        midi = MidiFile(build_midi([]))
+        s = Synthesizer(
+            SoundFont(self._font()),
+            SynthesizerSettings(block_size=64, maximum_polyphony=8),
+        )
+        out = render_midi_offline(s, midi, 0.1)
+        assert out.shape[0] == int(0.1 * SR) and np.abs(out).max() == 0.0
+
+    def test_note_never_released(self):
+        events = [(0.0, 0x90, 60, 100)]
+        _compare(self._font(), events, 0.6, block=64, poly=16)
