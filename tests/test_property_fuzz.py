@@ -16,6 +16,10 @@ import pygmu2_tpu as pg
 SR = 44100
 
 
+def _subgraph_pure(pe):
+    return pe.is_pure() and all(_subgraph_pure(i) for i in pe.inputs())
+
+
 def _random_graph(rng):
     """Compose a random graph, 2-4 levels deep."""
     def leaf():
@@ -33,7 +37,7 @@ def _random_graph(rng):
         return pg.FunctionGenPE(frequency=float(rng.uniform(50, 500)))
 
     def wrap(x):
-        k = rng.integers(0, 7)
+        k = rng.integers(0, 17)
         if k == 0:
             return pg.GainPE(x, float(rng.uniform(0.1, 2.0)))
         if k == 1:
@@ -46,7 +50,37 @@ def _random_graph(rng):
             return pg.BiquadPE(x, float(rng.uniform(200, 8000)), 1.0)
         if k == 5:
             return pg.TransformPE(x, lambda a: np.tanh(a) if isinstance(a, np.ndarray) else a)
-        return pg.EnvelopePE(x, attack=0.01, release=0.05)
+        if k == 6:
+            return pg.EnvelopePE(x, attack=0.01, release=0.05)
+        if k == 7:
+            return pg.SVFilterPE(x, float(rng.uniform(200, 8000)), 1.0)
+        if k == 8:
+            return pg.LadderPE(x, float(rng.uniform(500, 5000)), resonance=0.3)
+        if k == 9:
+            return pg.CombPE(x, float(rng.uniform(100, 400)), feedback=0.5)
+        if k == 10:
+            return pg.SlewLimiterPE(x, rise_rate=float(rng.uniform(5, 50)))
+        if k == 11:
+            gate = pg.PeriodicGate(frequency=float(rng.uniform(0.5, 4.0)))
+            return pg.GainPE(x, pg.AdsrGatedPE(gate, 0.01, 0.05, 0.6, 0.1))
+        if k == 12:
+            return pg.SampleHoldPE(x, pg.PeriodicTrigger(hz=float(rng.uniform(20, 200))))
+        if k == 13:
+            return pg.TrackHoldPE(x, pg.PeriodicGate(frequency=float(rng.uniform(20, 100))))
+        if k == 14:
+            # TimeWarp reads its source at random-access windows; over a
+            # STATEFUL source the window pulls are non-contiguous, so
+            # chunked != one-shot by design (the reference behaves the
+            # same: impure PEs reset on non-contiguous requests). Only
+            # warp pure subgraphs in the invariance fuzz.
+            if _subgraph_pure(x):
+                return pg.TimeWarpPE(x, rate=float(rng.uniform(0.5, 2.0)))
+            return pg.GainPE(x, 0.8)
+        if k == 15:
+            return pg.ReversePitchEchoPE(
+                x, block_seconds=0.01, feedback=0.4, max_delay_seconds=0.03
+            )
+        return pg.SetExtentPE(x, 0, int(rng.integers(1000, 4000)))
 
     g = leaf()
     for _ in range(int(rng.integers(1, 4))):
@@ -54,7 +88,7 @@ def _random_graph(rng):
     return g
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_contracts_hold(seed):
     rng = np.random.default_rng(seed)
     g = _random_graph(rng)
@@ -81,7 +115,7 @@ def test_contracts_hold(seed):
         n = min(int(rng.integers(256, 1024)), total - pos)
         parts.append(g2.render(pos, n).data)
         pos += n
-    np.testing.assert_allclose(np.concatenate(parts), full, atol=2e-5)
+    np.testing.assert_allclose(np.concatenate(parts), full, atol=1e-4)
 
     # 3. zero outside finite extent
     ext = g.extent()
