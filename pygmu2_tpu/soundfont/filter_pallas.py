@@ -252,7 +252,7 @@ def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
         nf, ni = len(_OSC_F32_ROWS), len(_OSC_I32_ROWS)
         row_refs = dict(zip(_OSC_F32_ROWS, refs[:nf]))
         row_refs.update(dict(zip(_OSC_I32_ROWS, refs[nf : nf + ni])))
-        l_ref, r_ref = refs[nf + ni :]
+        st_in_ref, l_ref, r_ref, st_out_ref = refs[nf + ni :]
         P = row_refs["ratio"].shape[1]
         C = chunk
 
@@ -317,15 +317,13 @@ def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
             r_ref[pl.ds(i, 1), :] = rrow
             return (carry, tail)
 
-        jax.lax.fori_loop(
+        carry_f, tail_f = jax.lax.fori_loop(
             jnp.int32(0),
             jnp.int32(n_chunks),
             body,
-            (
-                jnp.zeros((2, P), jnp.float32),
-                jnp.zeros((2, P), jnp.float32),
-            ),
+            (st_in_ref[0:2, :], st_in_ref[2:4, :]),
         )
+        st_out_ref[:] = jnp.concatenate([carry_f, tail_f], axis=0)
 
     return kernel
 
@@ -334,7 +332,8 @@ def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
     jax.jit, static_argnames=("N", "L_true", "chunk", "interpret")
 )
 def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
-                               chunk: int = 512, interpret: bool = False):
+                               chunk: int = 512, interpret: bool = False,
+                               state=None):
     """Fully fused audio-rate pass: oscillator + biquad + gains + mix.
 
     rows: dict of (B, P) control planes —
@@ -343,12 +342,19 @@ def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
            master volume and aliveness);
       i32: base_int, loop_start, loop_len (>=1), smp_end.
     wave: (L,) float32 wavetable, L == L_true <= OSC_KERNEL_MAX_WAVE.
-    Returns (T, 2) float32 with T = B * N (and T <= OSC_KERNEL_MAX_T).
+    state: optional (4, P) carried state [filter y1; y2; FIR x[-2];
+    x[-1]] from a previous segment (timelines beyond OSC_KERNEL_MAX_T
+    render as fused segments with this state threaded — see
+    _audio_pass).
+    Returns ((T, 2) float32, (4, P) state) with T = B * N
+    (and T <= OSC_KERNEL_MAX_T).
     """
     B, P = rows["ratio"].shape
     T = B * N
     chunk = min(chunk, N)  # chunk must divide the MIDI block
     assert N % chunk == 0 and T <= OSC_KERNEL_MAX_T
+    if state is None:
+        state = jnp.zeros((4, P), jnp.float32)
     n_chunks = T // chunk
     n_rows = -(-L_true // 128)
     pad = n_rows * 128 - L_true
@@ -360,20 +366,22 @@ def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
     w1 = w1.reshape(n_rows, 128)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    L, R = pl.pallas_call(
+    L, R, st_out = pl.pallas_call(
         _make_osc_kernel(N, chunk, n_chunks, n_rows, L_true),
         out_shape=(
             jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((4, P), jnp.float32),
         ),
         in_specs=[vspec]
-        * (2 + len(_OSC_F32_ROWS) + len(_OSC_I32_ROWS)),
-        out_specs=(vspec, vspec),
+        * (3 + len(_OSC_F32_ROWS) + len(_OSC_I32_ROWS)),
+        out_specs=(vspec, vspec, vspec),
         interpret=interpret,
     )(
         w0,
         w1,
         *[jnp.asarray(rows[k], jnp.float32) for k in _OSC_F32_ROWS],
         *[jnp.asarray(rows[k], jnp.int32) for k in _OSC_I32_ROWS],
+        jnp.asarray(state, jnp.float32),
     )
-    return jnp.stack([L.reshape(T), R.reshape(T)], axis=1)
+    return jnp.stack([L.reshape(T), R.reshape(T)], axis=1), st_out

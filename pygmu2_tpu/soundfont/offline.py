@@ -583,9 +583,25 @@ def _audio_pass(ctrl, wave, N: int, master: float):
 
         if W <= OSC_KERNEL_MAX_WAVE:
             # fully fused: the oscillator runs inside the kernel; the
-            # (T, P) oscillator output never exists in HBM.
+            # (T, P) oscillator output never exists in HBM. Timelines
+            # beyond the kernel's VMEM budget render as fused segments
+            # with the filter carry + FIR tail threaded between them.
+            from pygmu2_tpu.soundfont.filter_pallas import OSC_KERNEL_MAX_T
+
             rows = dict(gains, **_osc_rows(ctrl, wave))
-            return osc_filter_gain_mix_pallas(rows, wave, N, W)
+            blocks_per_seg = max(1, OSC_KERNEL_MAX_T // N)
+            if B <= blocks_per_seg:
+                out, _st = osc_filter_gain_mix_pallas(rows, wave, N, W)
+                return out
+            outs = []
+            st = None
+            for b0 in range(0, B, blocks_per_seg):
+                seg = {k: v[b0 : b0 + blocks_per_seg] for k, v in rows.items()}
+                out, st = osc_filter_gain_mix_pallas(
+                    seg, wave, N, W, state=st
+                )
+                outs.append(out)
+            return jnp.concatenate(outs, axis=0)
 
     def e(c):  # (B, P) -> (B, 1, P) broadcast plane
         return c[:, None, :]

@@ -130,7 +130,7 @@ def _osc_fused_case(sample_specs, events, seconds, N=128):
         "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
     }
     rows.update(_osc_rows(ctrl, wave))
-    got = osc_filter_gain_mix_pallas(
+    got, _st = osc_filter_gain_mix_pallas(
         rows, wave, N, int(wave.shape[0]), interpret=True
     )
     scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
@@ -138,6 +138,23 @@ def _osc_fused_case(sample_specs, events, seconds, N=128):
         np.asarray(got), np.asarray(ref), atol=3e-5 * max(scale, 1.0)
     )
     assert float(jnp.max(jnp.abs(ref))) > 1e-4  # non-degenerate
+
+    # segmented rendering with state threading must match one-shot
+    B = rows["ratio"].shape[0]
+    if B >= 4:
+        cut = B // 2
+        seg1 = {k: v[:cut] for k, v in rows.items()}
+        seg2 = {k: v[cut:] for k, v in rows.items()}
+        o1, st = osc_filter_gain_mix_pallas(
+            seg1, wave, N, int(wave.shape[0]), interpret=True
+        )
+        o2, _ = osc_filter_gain_mix_pallas(
+            seg2, wave, N, int(wave.shape[0]), interpret=True, state=st
+        )
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(o1), np.asarray(o2)]),
+            np.asarray(got), atol=1e-6,
+        )
 
 
 def test_osc_fused_looped_chord():
@@ -221,7 +238,7 @@ def test_osc_fused_loop_until_note_off():
     }
     rows.update(_osc_rows(ctrl, wave))
     ref = _audio_pass(ctrl, wave, N, float(synth.master_volume))
-    got = osc_filter_gain_mix_pallas(
+    got, _st = osc_filter_gain_mix_pallas(
         rows, wave, N, int(wave.shape[0]), interpret=True
     )
     scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
