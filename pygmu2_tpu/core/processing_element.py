@@ -159,6 +159,21 @@ class ProcessingElement(ABC):
         """
         return False
 
+    def state_decays(self) -> bool:
+        """True ⇒ this node's carried state converges when re-rendered
+        from a fresh state after a finite warm-up (decaying IIR tails,
+        envelope followers, finite FIR/delay histories).
+
+        Consumed by ``parallel.render_time_sharded_stateful(halo>0)``:
+        halo mode renders warm-up samples from fresh state per device and
+        is valid only when every stateful node decays. Non-decaying state
+        (oscillator phase accumulators, trigger origins, random walks,
+        held samples) depends on where rendering started and never
+        converges — the default False makes unknown stateful PEs reject
+        halo mode rather than silently diverge.
+        """
+        return False
+
     def channel_count(self) -> int | None:
         """Fixed output channel count, or None for pass-through."""
         return None

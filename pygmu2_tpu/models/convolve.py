@@ -36,6 +36,9 @@ def _next_pow2(n: int) -> int:
 class ConvolvePE(ProcessingElement):
     """``y = x * h`` with an FIR whose extent must be ``Extent(0, N)``."""
 
+    def state_decays(self) -> bool:
+        return True  # finite FIR history: halo >= len(fir) - 1 is exact
+
     def __init__(
         self,
         src: ProcessingElement,

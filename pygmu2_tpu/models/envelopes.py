@@ -36,6 +36,9 @@ _IDLE, _ATTACK, _DECAY, _SUSTAIN, _RELEASE = 0, 1, 2, 3, 4
 class EnvelopePE(ProcessingElement):
     """Attack/release envelope follower with optional lookahead."""
 
+    def state_decays(self) -> bool:
+        return True  # follower state converges within a few time-constants
+
     def __init__(
         self,
         source: ProcessingElement,

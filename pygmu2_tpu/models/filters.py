@@ -41,6 +41,9 @@ class _FreqQFilterPE(ProcessingElement):
         self._freq_is_pe = isinstance(frequency, ProcessingElement)
         self._q_is_pe = isinstance(q, ProcessingElement)
 
+    def state_decays(self) -> bool:
+        return True  # IIR tail: halo warm-up converges to f32 round-off
+
     def _fills_own_edges(self) -> bool:
         # IIR state rings past the source extent; the reference keeps
         # filtering the zero-padded input through its carried state

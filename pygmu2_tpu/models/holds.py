@@ -133,6 +133,9 @@ class TrackHoldPE(ProcessingElement):
 class SlewLimiterPE(ProcessingElement):
     """Rate-limit a mono control signal (units/second)."""
 
+    def state_decays(self) -> bool:
+        return True  # slewed value catches the input after a finite warm-up
+
     def __init__(
         self,
         source: ProcessingElement,

@@ -51,6 +51,12 @@ class NoisePE(SourcePE):
         self._seed = seed
         self._mode = mode
 
+    def state_decays(self) -> bool:
+        # white: no state; pink: six one-pole lanes (|a| < 1) over a
+        # counter-hashed (pure-of-t) white source — decays. Brown is a
+        # clipped random walk: NOT decaying.
+        return self._mode != NoiseMode.BROWN
+
     @property
     def min_value(self) -> float:
         return self._min_value

@@ -63,6 +63,9 @@ def rho_for_decay_db(
 class LadderPE(ProcessingElement):
     """Moog-style ladder filter with tanh feedback and oversampling."""
 
+    def state_decays(self) -> bool:
+        return True  # stable nonlinear IIR: state decays by _STATE_DECAY
+
     _DEFAULT_OVERSAMPLE = 2
     _RESONANCE_MULTIPLIER = 1.8
     _STATE_DECAY = 0.95
@@ -262,6 +265,9 @@ class LadderPE(ProcessingElement):
 
 class CombPE(ProcessingElement):
     """Feedback comb tuned to a (possibly modulated) frequency."""
+
+    def state_decays(self) -> bool:
+        return True  # feedback < 1: delay-line contents decay geometrically
 
     _MAX_FEEDBACK = 0.995
 

@@ -79,8 +79,18 @@ def paired_table_lookup(tables: jnp.ndarray, idx: jnp.ndarray):
         c = ix & (width - 1)
         ohr = jax.nn.one_hot(r, R, dtype=tables.dtype)  # (S, R)
         ohc = jax.nn.one_hot(c, width, dtype=tables.dtype)  # (S, width)
+        # precision=HIGHEST: TPU default matmul does bf16 multiplies on
+        # f32 inputs, which would break the documented exactness.
         outs = [
-            jnp.sum((ohr @ _pad_rows(tables[:, k], width)) * ohc, axis=-1)
+            jnp.sum(
+                jnp.matmul(
+                    ohr,
+                    _pad_rows(tables[:, k], width),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                * ohc,
+                axis=-1,
+            )
             for k in range(K)
         ]
     else:

@@ -62,7 +62,7 @@ def render_time_sharded(root, start: int, total: int, mesh: Mesh, block: int = 8
         + jnp.arange(n_dev * n_blocks_per_dev, dtype=prec.INDEX) * block
     )
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     def shard_fn(starts_local):
         def step(carry, s):
@@ -126,38 +126,41 @@ def render_time_sharded_stateful(
     halo_blocks = -(-halo // block) if halo else 0
 
     prog = engine.get_program(root, block)
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     dev_starts = start + span * jnp.arange(n_dev, dtype=prec.INDEX)
 
     if halo:
+        # Halo warm-up is valid only for decaying state (docstring
+        # above); enforce it instead of trusting the caller. An abstract
+        # trace populates the program's state-node registry.
+        jax.eval_shape(prog._run_first, jnp.asarray(0, prec.INDEX))
+        bad = [
+            type(pe).__name__
+            for pe in prog._state_nodes
+            if not pe.state_decays()
+        ]
+        if bad:
+            raise ValueError(
+                "halo mode requires every stateful node's state to decay "
+                f"(non-decaying: {sorted(set(bad))}); these depend on "
+                "where rendering started and will not converge in the "
+                "warm-up — use halo=0 (exact ppermute state relay)."
+            )
         def shard_fn(my_start):
             s0 = my_start[0] - halo_blocks * block
+            # block 0 initializes fresh state ONCE outside the scan so the
+            # steady-state loop body traces only _run_step (running both
+            # programs per block and selecting doubled device work).
+            out0, st0 = prog._run_first(s0)
 
-            def step(carry, k):
-                st, first = carry
-                bs = s0 + k * block
-                out_f, st_f = prog._run_first(bs)
-                out_s, st_s = prog._run_step(bs, st)
-                out = jnp.where(first, out_f, out_s)
-                st = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(first, a, b), st_f, st_s
-                )
-                return (st, jnp.zeros_like(first)), out
+            def step(st, k):
+                out, new = prog._run_step(s0 + k * block, st)
+                return new, out
 
-            def _vary(x):
-                if axis in getattr(jax.typeof(x), "vma", frozenset()):
-                    return x
-                return jax.lax.pvary(x, (axis,))
-
-            dummy = jax.tree_util.tree_map(
-                lambda s: _vary(jnp.zeros(s.shape, s.dtype)),
-                jax.eval_shape(prog._run_first, dev_starts[0])[1],
-            )
-            ks = jnp.arange(halo_blocks + n_chunks, dtype=prec.INDEX)
-            _, outs = jax.lax.scan(
-                step, (dummy, _vary(jnp.asarray(True))), ks
-            )
+            ks = jnp.arange(1, halo_blocks + n_chunks, dtype=prec.INDEX)
+            _, rest = jax.lax.scan(step, st0, ks)
+            outs = jnp.concatenate([out0[None], rest], axis=0)
             return outs[halo_blocks:].reshape(span, -1)
 
         fn = jax.jit(
@@ -185,7 +188,7 @@ def render_time_sharded_stateful(
             # replicated; input-derived leaves are already varying)
             if axis in getattr(jax.typeof(x), "vma", frozenset()):
                 return x
-            return jax.lax.pvary(x, (axis,))
+            return jax.lax.pcast(x, axis, to='varying')
 
         def compute_span(state_in):
             # device 0 initializes fresh; others continue from the relay
@@ -274,7 +277,7 @@ def render_midi_sharded(synth, midi_file, seconds: float, mesh: Mesh) -> np.ndar
     N = synth.block_size
     master = np.float32(synth.master_volume)
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     # Per-voice arrays shard on their last (voice) axis; channel state and
     # the block→snapshot map replicate.
@@ -289,7 +292,7 @@ def render_midi_sharded(synth, midi_file, seconds: float, mesh: Mesh) -> np.ndar
             return new_dyn, jax.lax.psum(audio, axis)
 
         dyn0 = jax.tree_util.tree_map(
-            lambda x: jax.lax.pvary(x, (axis,)), synth._init_dyn(local_p)
+            lambda x: jax.lax.pcast(x, axis, to='varying'), synth._init_dyn(local_p)
         )
         _, blocks = jax.lax.scan(step, dyn0, idx)
         return blocks.reshape(n_blocks * N, 2)
@@ -322,7 +325,7 @@ def render_midi_offline_sharded(
 
     Returns a host float32 array (samples, 2).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     from pygmu2_tpu.soundfont import offline as off
 
@@ -340,24 +343,35 @@ def render_midi_offline_sharded(
     min_dur = int(synth._minimum_voice_duration)
     sr = float(synth.sample_rate)
     master = float(synth.master_volume)
+    # large fonts ride the windowed-DMA oscillator per shard (the
+    # wavetable replicates; per-voice windows are per-device VMEM)
+    wave_ext, win_w = off._window_args(synth, par_np, ch_np)
 
-    def shard_fn(pf32, pi32, pf64, cf32, chold, snap, wave):
+    def shard_fn(pf32, pi32, pf64, cf32, chold, snap, wave, wave_ext):
         ctrl = off._control_device(
             pf32, pi32, pf64, cf32, chold, snap, N, flags, min_dur, sr
         )
-        out = off._audio_pass(ctrl, wave, N, master)  # local voices only
+        out = off._audio_pass(  # local voices only
+            ctrl, wave, N, master, wave_ext, win_w,
+            off.FORCE_PALLAS_INTERPRET,
+        )
         return jax.lax.psum(out, axis)
 
+    if wave_ext is None:
+        wave_ext = jnp.zeros((0,), jnp.float32)  # unused, replicated
     vspec = P(None, None, axis)  # (F, NS, P) stacks shard on voices
     fn = jax.jit(
         shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(vspec, vspec, vspec, P(), P(), P(), P()),
+            in_specs=(vspec, vspec, vspec, P(), P(), P(), P(), P()),
             out_specs=P(),
         )
     )
-    out = fn(pf32, pi32, pf64, cf32, chold, jnp.asarray(snap_idx), synth._wave)
+    out = fn(
+        pf32, pi32, pf64, cf32, chold, jnp.asarray(snap_idx), synth._wave,
+        wave_ext,
+    )
     total = int(round(seconds * synth.sample_rate))
     synth.reset()
     return np.asarray(out)[:total]

@@ -37,6 +37,7 @@ block) — here one kernel pass over the whole timeline for all voices.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -328,6 +329,249 @@ def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
     return kernel
 
 
+# ---- windowed-DMA variant (arbitrary-size wavetables) --------------------
+
+# largest timeline per kernel launch for the window variant: outputs are
+# dense in VMEM and the window buffer + transposed control rows add ~4 MB.
+WINDOW_KERNEL_MAX_T = 1 << 18
+
+_WIN_F32_T = ("ratio", "base_frac")  # (B, P) f32
+_WIN_I32_T = ("base_int", "loop_start", "loop_len", "smp_end", "loopi")
+
+
+def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
+    """Gridless kernel: per-voice HBM->VMEM window DMA + osc + filter.
+
+    Layout: control planes stay (B, P) — Mosaic can slice the SUBLANE
+    dimension dynamically (``[pl.ds(blk, 1), :]``) but not the lane
+    dimension, so everything vectorized runs time-major (CS, P) exactly
+    like the resident kernel. The per-voice window gather, however,
+    needs voices on the SUBLANE axis (operand row p = voice p's window
+    slab), so the (CS, P) indices transpose to (P, CS) for the
+    ``tpu.dynamic_gather`` and the gathered samples transpose back —
+    i32 indices ride the f32 transpose (values < 2^24, exact).
+
+    Window refresh is CONDITIONAL per (block, voice): a scalar loop
+    compares the SMEM ``ws`` plane against the per-voice current window
+    and DMAs only voices whose window moved — sustained looping notes
+    are anchored to their loop view and never refresh.
+    """
+    cpb = N // chunk
+    CS = chunk
+    KS = W // 128
+    rows_w = W // 128
+    ralign = align // 128  # window start alignment in 128-lane rows
+
+    def kernel(wave_ref, ws_smem, *refs):
+        nf, ni = len(_WIN_F32_T), len(_WIN_I32_T)
+        tf = dict(zip(_WIN_F32_T, refs[:nf]))
+        ti = dict(zip(_WIN_I32_T, refs[nf : nf + ni]))
+        fr = dict(zip(_FILTER_ROWS, refs[nf + ni : nf + ni + len(_FILTER_ROWS)]))
+        (st_in, ws_vmem, l_ref, r_ref, st_out,
+         win, sem, cur, chg) = refs[nf + ni + len(_FILTER_ROWS) :]
+        P = tf["ratio"].shape[1]
+
+        def initp(p, _):
+            cur[p] = jnp.int32(-(2 ** 30))
+            return 0
+
+        jax.lax.fori_loop(0, P, initp, 0)
+
+        def refresh(b):
+            def issue(p, _):
+                new = ws_smem[b, p]
+                changed = new != cur[p]
+                chg[p] = changed.astype(jnp.int32)
+
+                @pl.when(changed)
+                def _():
+                    row0 = pl.multiple_of(
+                        jax.lax.shift_right_logical(new, jnp.int32(7)),
+                        ralign,
+                    )
+                    pltpu.make_async_copy(
+                        wave_ref.at[pl.ds(row0, rows_w), :],
+                        win.at[p],
+                        sem.at[p],
+                    ).start()
+
+                cur[p] = new
+                return 0
+
+            jax.lax.fori_loop(0, P, issue, 0)
+
+            def wait(p, _):
+                @pl.when(chg[p] != 0)
+                def _():
+                    row0 = pl.multiple_of(
+                        jax.lax.shift_right_logical(cur[p], jnp.int32(7)),
+                        ralign,
+                    )
+                    pltpu.make_async_copy(
+                        wave_ref.at[pl.ds(row0, rows_w), :],
+                        win.at[p],
+                        sem.at[p],
+                    ).wait()
+
+                return 0
+
+            jax.lax.fori_loop(0, P, wait, 0)
+
+        def osc_chunk(blk, j):
+            """(CS, P) oscillator samples for sub-chunk j of block blk."""
+
+            def rowf(name):  # (1, P) f32 control row
+                return tf[name][pl.ds(blk, 1), :]
+
+            def rowi(name):  # (1, P) i32
+                return ti[name][pl.ds(blk, 1), :]
+
+            steps = (
+                jax.lax.broadcasted_iota(jnp.int32, (CS, P), 0) + j * CS
+            ).astype(jnp.float32)
+            offset = rowf("base_frac") + steps * rowf("ratio")  # (CS, P)
+            off_int = jnp.floor(offset)
+            frac = offset - off_int
+            abs_idx = rowi("base_int") + off_int.astype(jnp.int32)
+            loop_start = rowi("loop_start")
+            loop_len = rowi("loop_len")
+            # in-view loop wrap (anchored voices only): same reciprocal
+            # trick as the resident kernel, in view coordinates.
+            phi = abs_idx - loop_start
+            inv_ll = 1.0 / loop_len.astype(jnp.float32)
+            k = jnp.floor(phi.astype(jnp.float32) * inv_ll).astype(jnp.int32)
+            w = phi - k * loop_len
+            w = jnp.where(w < 0, w + loop_len, w)
+            w = jnp.where(w >= loop_len, w - loop_len, w)
+            looping = rowi("loopi") > 0
+            idx_eff = jnp.where(looping, loop_start + w, abs_idx)
+            # window-relative index, clamped for memory safety (legit
+            # reads never clamp; dead/stale voices are gain-masked)
+            ws_row = ws_vmem[pl.ds(blk, 1), :]  # (1, P)
+            widx = jnp.minimum(
+                jnp.maximum(idx_eff - ws_row, jnp.int32(0)),
+                jnp.int32(W - 2),
+            )
+            # voice-major for the gather: indices < 2^24 ride an exact
+            # f32 transpose (Mosaic has no native i32 transpose here)
+            widx_t = widx.astype(jnp.float32).T.astype(jnp.int32)  # (P, CS)
+            w1_t = widx_t + 1
+            acc0 = jnp.zeros((P, CS), jnp.float32)
+            acc1 = jnp.zeros((P, CS), jnp.float32)
+            for s in range(KS):
+                slab = win[:, s, :]
+                acc0 = jnp.where(
+                    jax.lax.shift_right_logical(widx_t, jnp.int32(7)) == s,
+                    _lane_gather(slab, jnp.bitwise_and(widx_t, jnp.int32(127))),
+                    acc0,
+                )
+                acc1 = jnp.where(
+                    jax.lax.shift_right_logical(w1_t, jnp.int32(7)) == s,
+                    _lane_gather(slab, jnp.bitwise_and(w1_t, jnp.int32(127))),
+                    acc1,
+                )
+            smp = (1.0 - frac) * acc0.T + frac * acc1.T  # back to (CS, P)
+            valid = looping | (abs_idx < rowi("smp_end"))
+            return jnp.where(valid, smp, 0.0)
+
+        def body(i, state):
+            carry, tail = state
+            blk = jax.lax.div(i, jnp.int32(cpb))
+            j = jax.lax.rem(i, jnp.int32(cpb))
+
+            @pl.when(j == 0)
+            def _():
+                refresh(blk)
+
+            x = osc_chunk(blk, j)  # (CS, P)
+
+            def row(name):
+                return fr[name][pl.ds(blk, 1), :]
+
+            pos = _chunk_pos(i, cpb, CS, P)
+            ml, mr, carry, tail = _filter_mix_math(
+                x, row, pos, N, carry, tail
+            )
+            l_ref[pl.ds(i, 1), :] = jnp.sum(ml.T, axis=0, keepdims=True)
+            r_ref[pl.ds(i, 1), :] = jnp.sum(mr.T, axis=0, keepdims=True)
+            return (carry, tail)
+
+        carry_f, tail_f = jax.lax.fori_loop(
+            jnp.int32(0),
+            jnp.int32(B * cpb),
+            body,
+            (st_in[0:2, :], st_in[2:4, :]),
+        )
+        st_out[:] = jnp.concatenate([carry_f, tail_f], axis=0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "W", "align", "chunk", "interpret")
+)
+def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
+                                      align: int = 128, chunk: int = 128,
+                                      interpret: bool = False, state=None):
+    """Windowed-DMA fused audio pass for arbitrary-size wavetables.
+
+    rows: dict of (B, P) control planes — the _FILTER_ROWS gains/coeffs
+    plus the output of ``offline.window_osc_rows`` (ratio, base_frac,
+    loopf, base_int, loop_start, loop_len, smp_end, ws — view
+    coordinates; ``ws`` 128-aligned window starts).
+    wave_ext: (L_ext,) float32 extended wavetable (lives in HBM; only
+    per-voice windows of W samples ever enter VMEM). L_ext % 128 == 0.
+    Returns ((T, 2) float32, (4, P) carried filter state).
+    """
+    B, P = rows["ratio"].shape
+    T = B * N
+    chunk = math.gcd(N, min(chunk, N))
+    assert chunk % 128 == 0 and W % 128 == 0 and T <= WINDOW_KERNEL_MAX_T
+    L_ext = wave_ext.shape[0]
+    assert L_ext % 128 == 0 and W <= L_ext
+    if state is None:
+        state = jnp.zeros((4, P), jnp.float32)
+    n_chunks = T // chunk
+
+    wave2d = wave_ext.reshape(L_ext // 128, 128)
+    tf = [jnp.asarray(rows[k], jnp.float32) for k in _WIN_F32_T]
+    ti_src = dict(rows)
+    ti_src["loopi"] = (rows["loopf"] > 0.5)
+    ti = [jnp.asarray(ti_src[k], jnp.int32) for k in _WIN_I32_T]
+    frows = [jnp.asarray(rows[k], jnp.float32) for k in _FILTER_ROWS]
+    ws = jnp.asarray(rows["ws"], jnp.int32)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    L, R, st_out = pl.pallas_call(
+        _make_window_kernel(N, chunk, B, W, align),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((4, P), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vspec] * (len(_WIN_F32_T) + len(_WIN_I32_T) + len(_FILTER_ROWS) + 2),
+        out_specs=(vspec, vspec, vspec),
+        scratch_shapes=[
+            pltpu.VMEM((P, W // 128, 128), jnp.float32),  # per-voice windows
+            pltpu.SemaphoreType.DMA((P,)),
+            pltpu.SMEM((P,), jnp.int32),  # current window starts
+            pltpu.SMEM((P,), jnp.int32),  # changed flags
+        ],
+        interpret=interpret,
+    )(
+        wave2d,
+        ws,
+        *tf,
+        *ti,
+        *frows,
+        jnp.asarray(state, jnp.float32),
+        ws,  # (B, P) VMEM twin for the vectorized widx math
+    )
+    return jnp.stack([L.reshape(T), R.reshape(T)], axis=1), st_out
+
+
 @functools.partial(
     jax.jit, static_argnames=("N", "L_true", "chunk", "interpret")
 )
@@ -351,7 +595,10 @@ def osc_filter_gain_mix_pallas(rows, wave, N: int, L_true: int,
     """
     B, P = rows["ratio"].shape
     T = B * N
-    chunk = min(chunk, N)  # chunk must divide the MIDI block
+    # chunk must divide the MIDI block: largest divisor of N that is
+    # <= the requested chunk (block sizes like 640 pass the N % 128
+    # fused-path gate but are not multiples of 512).
+    chunk = math.gcd(N, min(chunk, N))
     assert N % chunk == 0 and T <= OSC_KERNEL_MAX_T
     if state is None:
         state = jnp.zeros((4, P), jnp.float32)

@@ -34,6 +34,18 @@ from pygmu2_tpu.soundfont.params import NON_AUDIBLE
 
 LOG_NON_AUDIBLE = math.log(NON_AUDIBLE)
 
+# Test hook: when True, _audio_pass takes the fused Pallas branches with
+# interpret=True even off-TPU, so CPU CI covers the kernel integrations
+# (window_osc_rows coordinates, lv_off packing, segment state threading)
+# end to end. Set via tests only; never in production paths.
+FORCE_PALLAS_INTERPRET = False
+
+# Pitch-ratio ceiling the windowed-DMA oscillator is provisioned for:
+# window length and loop-view guards cover one MIDI block of advance at
+# ratio <= WINDOW_RATIO_BUCKET (3 octaves above the sample's root pitch).
+# Schedules that can exceed it fall back to the XLA oscillator.
+WINDOW_RATIO_BUCKET = 8
+
 
 # ---- numpy twins of the closed-form control functions ------------------
 
@@ -316,6 +328,7 @@ def _compute_control_loop(synth, par_np, ch_np, snap_idx):
         par_f64["loop_end"] - par_f64["loop_start"], 1.0
     )
     out["smp_end"] = par_f64["smp_end"]
+    out["lv_off"] = par["lv_off"]
     return out
 
 
@@ -510,10 +523,84 @@ def _compute_control_vectorized(synth, par_np, ch_np, snap_idx):
         "loop_start": par64["loop_start"].astype(np.float64),
         "loop_len": np.maximum(par64["loop_end"] - par64["loop_start"], 1.0),
         "smp_end": par64["smp_end"],
+        "lv_off": par["lv_off"],
     }
 
 
 # ---- device pass --------------------------------------------------------
+
+
+def _split_base(ctrl):
+    """(base_int i32, base_frac f32) from ctrl (packed or f64)."""
+    if "base_int" in ctrl:
+        return ctrl["base_int"], ctrl["base_frac"]
+    base = ctrl["base_pos"]
+    bi = jnp.floor(base)
+    return bi.astype(jnp.int32), (base - bi).astype(jnp.float32)
+
+
+def window_w(N: int, bucket: int, align: int = 128) -> int:
+    """Window length for the windowed-DMA oscillator: covers one MIDI
+    block at pitch ratio <= bucket, plus the window-start alignment
+    slack, plus the second lerp tap."""
+    w = N * bucket + align + 4
+    return -(-w // 128) * 128
+
+
+def window_osc_rows(ctrl, W: int, L_ext: int, align: int = 128):
+    """Control rows for the windowed-DMA oscillator kernel (large fonts).
+
+    Remaps oscillator coordinates into the extended wavetable
+    (``Synthesizer.wave_ext``) and emits the per-(block, voice) window
+    start plane ``ws``:
+
+    - looping voices whose loop (+2 lerp guard) fits the window are
+      ANCHORED at their loop view: ``ws`` is constant for the life of
+      the note, so sustained notes trigger no DMA refresh at all; the
+      in-kernel wrap runs in view coordinates.
+    - looping voices with long loops read the view UNWRAPPED (the view's
+      cyclic guard covers one block of advance; the per-block pre-wrap
+      of ``base_pos`` handles block boundaries); ``smp_end`` is pushed
+      to +inf so validity masking stays true.
+    - non-looping voices window at their (align-rounded) block base in
+      original wave coordinates.
+
+    Reference anchor: the arbitrary-length vectorized oscillator of
+    reference meltysynth/synth/oscillator.py:79-148 — here the arbitrary
+    length lives in HBM and per-voice windows are DMA'd into VMEM.
+    """
+    ls = ctrl["loop_start"].astype(jnp.int32)
+    ll = jnp.maximum(ctrl["loop_len"].astype(jnp.int32), 1)
+    lv = ctrl["lv_off"].astype(jnp.int32)
+    looping = ctrl["looping"]
+    alive = ctrl["alive"]
+    smp_end = ctrl["smp_end"].astype(jnp.int32)
+    base_int, base_frac = _split_base(ctrl)
+
+    is_loop = looping & (lv >= 0)
+    anchored = is_loop & ((ll + 2) <= W)
+    view_base = lv + (base_int - ls)
+    base_i = jnp.where(is_loop, view_base, base_int)
+    loop_start_o = jnp.where(anchored, lv, jnp.int32(0))
+    loopf = anchored.astype(jnp.float32)
+    smp_end_o = jnp.where(
+        is_loop & ~anchored, jnp.int32(1 << 30), smp_end
+    )
+    ws = jnp.where(
+        anchored, lv, jnp.bitwise_and(base_i, jnp.int32(~(align - 1)))
+    )
+    ws = jnp.where(alive, ws, jnp.int32(0))
+    ws = jnp.minimum(jnp.maximum(ws, jnp.int32(0)), jnp.int32(L_ext - W))
+    return dict(
+        ratio=ctrl["ratio"],
+        base_frac=base_frac,
+        loopf=loopf,
+        base_int=base_i,
+        loop_start=loop_start_o,
+        loop_len=ll,
+        smp_end=smp_end_o,
+        ws=ws,
+    )
 
 
 def _osc_rows(ctrl, wave):
@@ -540,10 +627,16 @@ def _osc_rows(ctrl, wave):
     )
 
 
-def _audio_pass(ctrl, wave, N: int, master: float):
+def _audio_pass(ctrl, wave, N: int, master: float, wave_ext=None,
+                win_w: int | None = None, interpret: bool = False):
     """One parallel program over the whole timeline.
 
     ctrl fields are (B, P); returns (B·N, 2) float32.
+
+    wave_ext / win_w: when provided (and the wavetable exceeds the
+    resident kernel's VMEM budget), the windowed-DMA kernel renders
+    with per-voice W=win_w windows DMA'd from the extended wavetable —
+    arbitrary font sizes at resident-kernel speed.
 
     Everything audio-rate lives in (B, N, P) / (T, P) layout: P = 128
     voices ride the TPU lanes, the time axis is the leading (cheap)
@@ -559,8 +652,9 @@ def _audio_pass(ctrl, wave, N: int, master: float):
 
     m = jnp.float32(master)
     alive = ctrl["alive"]
+    interp = bool(interpret)
     if (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interp)
         and P % 128 == 0
         and N % 128 == 0
     ):
@@ -591,14 +685,44 @@ def _audio_pass(ctrl, wave, N: int, master: float):
             rows = dict(gains, **_osc_rows(ctrl, wave))
             blocks_per_seg = max(1, OSC_KERNEL_MAX_T // N)
             if B <= blocks_per_seg:
-                out, _st = osc_filter_gain_mix_pallas(rows, wave, N, W)
+                out, _st = osc_filter_gain_mix_pallas(
+                    rows, wave, N, W, interpret=interp
+                )
                 return out
             outs = []
             st = None
             for b0 in range(0, B, blocks_per_seg):
                 seg = {k: v[b0 : b0 + blocks_per_seg] for k, v in rows.items()}
                 out, st = osc_filter_gain_mix_pallas(
-                    seg, wave, N, W, state=st
+                    seg, wave, N, W, state=st, interpret=interp
+                )
+                outs.append(out)
+            return jnp.concatenate(outs, axis=0)
+
+        if wave_ext is not None and win_w is not None:
+            # windowed-DMA kernel: wavetable stays in HBM; per-voice
+            # windows DMA into VMEM with conditional refresh.
+            from pygmu2_tpu.soundfont.filter_pallas import (
+                WINDOW_KERNEL_MAX_T,
+                osc_window_filter_gain_mix_pallas,
+            )
+
+            rows = dict(
+                gains,
+                **window_osc_rows(ctrl, win_w, int(wave_ext.shape[0])),
+            )
+            blocks_per_seg = max(1, WINDOW_KERNEL_MAX_T // N)
+            if B <= blocks_per_seg:
+                out, _st = osc_window_filter_gain_mix_pallas(
+                    rows, wave_ext, N, win_w, interpret=interp
+                )
+                return out
+            outs = []
+            st = None
+            for b0 in range(0, B, blocks_per_seg):
+                seg = {k: v[b0 : b0 + blocks_per_seg] for k, v in rows.items()}
+                out, st = osc_window_filter_gain_mix_pallas(
+                    seg, wave_ext, N, win_w, state=st, interpret=interp
                 )
                 outs.append(out)
             return jnp.concatenate(outs, axis=0)
@@ -654,7 +778,7 @@ def _audio_pass(ctrl, wave, N: int, master: float):
     xt = jnp.where(valid, smp, 0.0).reshape(T, P)
 
     if (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interp)
         and P % 128 == 0
         and N % 128 == 0
     ):
@@ -663,7 +787,7 @@ def _audio_pass(ctrl, wave, N: int, master: float):
         # the XLA one-hot path above)
         from pygmu2_tpu.soundfont.filter_pallas import filter_gain_mix_pallas
 
-        return filter_gain_mix_pallas(xt, gains, N)
+        return filter_gain_mix_pallas(xt, gains, N, interpret=interp)
 
     # ---- filter over the whole timeline, per voice ----
     # epoch boundaries: first samples of fresh blocks must not see the
@@ -739,7 +863,7 @@ _audio_pass_jit = jax.jit(_audio_pass, static_argnums=(2,))
 # three stacked tensors instead. base_pos (f64) is split host-side into
 # exact int32/float32 planes (the device recomputed exactly this split).
 _PACK_F32 = ("ratio", "b0", "b1", "b2", "a1", "a2", "gl", "gr", "pgl", "pgr", "base_frac")
-_PACK_I32 = ("loop_start", "loop_len", "smp_end", "base_int")
+_PACK_I32 = ("loop_start", "loop_len", "smp_end", "base_int", "lv_off")
 _PACK_BOOL = ("looping", "alive", "fresh")
 
 
@@ -755,25 +879,72 @@ def _pack_control(ctrl):
     return f32, i32, bl
 
 
-def _audio_pass_packed(f32, i32, bl, wave, N: int, master):
+def _audio_pass_packed(f32, i32, bl, wave, N: int, master, wave_ext=None,
+                       win_w: int | None = None, interpret: bool = False):
     ctrl = {k: f32[i] for i, k in enumerate(_PACK_F32)}
     ctrl.update({k: i32[i] for i, k in enumerate(_PACK_I32)})
     ctrl.update({k: bl[i] for i, k in enumerate(_PACK_BOOL)})
-    return _audio_pass(ctrl, wave, N, master)
+    return _audio_pass(ctrl, wave, N, master, wave_ext, win_w, interpret)
 
 
-_audio_pass_packed_jit = jax.jit(_audio_pass_packed, static_argnums=(4,))
+_audio_pass_packed_jit = jax.jit(_audio_pass_packed, static_argnums=(4, 7, 8))
 
 
-def render_midi_offline(synth, midi_file, seconds: float) -> np.ndarray:
+def _ratio_bound(synth, par_np, ch_np) -> float:
+    """Conservative upper bound on any voice's pitch ratio across the
+    schedule (vibrato/mod-LFO/mod-env at full deflection, the largest
+    channel bend/modulation that ever occurs). Used to gate the
+    windowed-DMA oscillator, whose window covers one block of advance at
+    ratio <= WINDOW_RATIO_BUCKET."""
+    p = par_np
+    audible = p["note_gain"] >= NON_AUDIBLE
+    if not np.any(audible):
+        return 1.0
+    mod_hi = float(np.abs(ch_np["ch_mod"]).max()) if len(ch_np["ch_mod"]) else 0.0
+    bend_hi = float(np.abs(ch_np["ch_pitch"]).max()) if len(ch_np["ch_pitch"]) else 0.0
+    swing = (
+        np.abs(0.01 * mod_hi + np.abs(p["vib2pitch"]))
+        + np.abs(p["mod2pitch"])
+        + np.maximum(p["modenv2pitch"], 0.0)
+        + bend_hi
+    )
+    pitch_hi = p["key"] + swing
+    delta = p["pitch_scale"] * (pitch_hi - p["root_key"]) + p["tune"]
+    delta = np.where(audible, delta, -np.inf)
+    return float(np.max(p["srate_ratio"] * 2.0 ** (delta / 12.0)))
+
+
+def _window_args(synth, par_np, ch_np):
+    """(wave_ext, win_w) when the font needs the windowed-DMA oscillator
+    and the schedule's pitch ratios fit its provisioning; else
+    (None, None) — small fonts ride the resident fused kernel and
+    out-of-provision schedules the XLA fallback."""
+    from pygmu2_tpu.soundfont.filter_pallas import OSC_KERNEL_MAX_WAVE
+
+    if not (jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET):
+        return None, None
+    if synth._wave.shape[0] <= OSC_KERNEL_MAX_WAVE:
+        return None, None
+    if _ratio_bound(synth, par_np, ch_np) > WINDOW_RATIO_BUCKET:
+        return None, None
+    return synth.wave_ext(), window_w(synth.block_size, WINDOW_RATIO_BUCKET)
+
+
+def render_midi_offline(synth, midi_file, seconds: float,
+                        wire: str = "f32") -> np.ndarray:
     """Schedule on host, control + audio fused in ONE device launch.
 
     Only the deduplicated event schedule crosses the link (tens of KB
     for minutes of MIDI); the per-(block, voice) control grid that the
     host pass produces (~1 MB for 3 s) is computed on device instead.
+
+    wire: "f32" (default) returns float32; "int16" converts to DAC-ready
+    PCM on device and ships half the bytes (the render itself stays
+    float32 — see _to_wire).
     """
     par_np, ch_np, snap_idx, n_blocks = synth.build_schedule(midi_file, seconds)
     pf32, pi32, pf64, cf32, chold, flags = _pack_schedule(par_np, ch_np)
+    wave_ext, win_w = _window_args(synth, par_np, ch_np)
     out = _render_fused_jit(
         pf32,
         pi32,
@@ -787,6 +958,10 @@ def render_midi_offline(synth, midi_file, seconds: float) -> np.ndarray:
         flags,
         int(synth._minimum_voice_duration),
         float(synth.sample_rate),
+        wave_ext,
+        win_w,
+        bool(FORCE_PALLAS_INTERPRET),
+        wire,
     )
     total = int(round(seconds * synth.sample_rate))
     synth.reset()
@@ -798,8 +973,11 @@ def render_midi_offline_hostctl(synth, midi_file, seconds: float) -> np.ndarray:
     par_np, ch_np, snap_idx, n_blocks = synth.build_schedule(midi_file, seconds)
     ctrl = compute_control(synth, par_np, ch_np, snap_idx)
     f32, i32, bl = _pack_control(ctrl)
+    wave_ext, win_w = _window_args(synth, par_np, ch_np)
     out = _audio_pass_packed_jit(
-        f32, i32, bl, synth._wave, synth.block_size, float(synth.master_volume)
+        f32, i32, bl, synth._wave, synth.block_size,
+        float(synth.master_volume), wave_ext, win_w,
+        bool(FORCE_PALLAS_INTERPRET),
     )
     total = int(round(seconds * synth.sample_rate))
     synth.reset()
@@ -817,7 +995,7 @@ _PAR_F32 = (
     "m_dec_end", "m_rel_dur", "m_sustain", "vib_delay", "vib_period",
     "mod_delay", "mod_period", "root_key", "tune", "pitch_scale",
 )
-_PAR_I32 = ("epoch", "channel", "loop_mode", "release_req")
+_PAR_I32 = ("epoch", "channel", "loop_mode", "release_req", "lv_off")
 _PAR_F64 = ("smp_start", "smp_end", "loop_start", "loop_end", "srate_ratio")
 _CH_F32 = ("ch_mod", "ch_vol_exp", "ch_pan", "ch_pitch")
 
@@ -879,9 +1057,19 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
     S = pf32.shape[1]
     oh = jax.nn.one_hot(snap_idx, S, dtype=jnp.float32)  # (B, S)
 
+    # precision=HIGHEST: the TPU default performs bf16 multiplies on f32
+    # inputs, which would silently truncate plane values (epoch,
+    # release_req, ratio) — the documented exactness of the one-hot
+    # expansion holds only with full-f32 multiplies pinned.
+    _EXACT = jax.lax.Precision.HIGHEST
+
     def expand(planes):  # (k, S, P) f32 -> (k, B, P)
         return jnp.einsum(
-            "bs,ksp->kbp", oh, planes, preferred_element_type=jnp.float32
+            "bs,ksp->kbp",
+            oh,
+            planes,
+            preferred_element_type=jnp.float32,
+            precision=_EXACT,
         )
 
     ef32 = expand(pf32)
@@ -891,7 +1079,11 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
     else:  # values too large for exact f32 matmul: plain (slow) gather
         pari = {k: pi32[i][snap_idx] for i, k in enumerate(_PAR_I32)}
     e64 = expand(pf64)
-    ech = oh @ cf32.astype(jnp.float32).transpose(1, 0, 2).reshape(S, -1)
+    ech = jnp.matmul(
+        oh,
+        cf32.astype(jnp.float32).transpose(1, 0, 2).reshape(S, -1),
+        precision=_EXACT,
+    )
     ech = ech.reshape(B, len(_CH_F32), -1).transpose(1, 0, 2)  # (4, B, 16)
 
     par = {k: ef32[i] for i, k in enumerate(_PAR_F32)}
@@ -900,7 +1092,9 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
         for i, k in enumerate(_PAR_F64)
     }
     ch = {k: ech[i] for i, k in enumerate(_CH_F32)}
-    ch["ch_hold"] = (oh @ chold.astype(jnp.float32)) > 0.5
+    ch["ch_hold"] = (
+        jnp.matmul(oh, chold.astype(jnp.float32), precision=_EXACT) > 0.5
+    )
     chan = pari["channel"]
     par["release_req"] = pari["release_req"]  # int compare below
     # int32 throughout: block indices / voice times fit comfortably and
@@ -1092,16 +1286,36 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
         "loop_start": par64["loop_start"],
         "loop_len": loop_len,
         "smp_end": par64["smp_end"],
+        "lv_off": pari["lv_off"],
     }
 
 
 def _render_fused(
-    pf32, pi32, pf64, cf32, chold, snap_idx, wave, N, master, flags, min_dur, sr
+    pf32, pi32, pf64, cf32, chold, snap_idx, wave, N, master, flags, min_dur,
+    sr, wave_ext=None, win_w=None, interpret=False, wire="f32",
 ):
     ctrl = _control_device(
         pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, sr
     )
-    return _audio_pass(ctrl, wave, N, master)
+    out = _audio_pass(ctrl, wave, N, master, wave_ext, win_w, interpret)
+    return _to_wire(out, wire)
 
 
-_render_fused_jit = jax.jit(_render_fused, static_argnums=(7, 9, 10, 11))
+def _to_wire(out, wire: str):
+    """Device-side wire-format conversion for host transfer.
+
+    The render itself is always float32 (the parity budget applies
+    there); ``wire="int16"`` ships DAC-ready PCM at half the bytes —
+    on link-constrained hosts the download dominates end-to-end time.
+    """
+    if wire == "f32":
+        return out
+    if wire == "int16":
+        scaled = jnp.round(out * 32767.0)
+        return jnp.clip(scaled, -32768.0, 32767.0).astype(jnp.int16)
+    raise ValueError(f"unknown wire format: {wire!r} (use 'f32' or 'int16')")
+
+
+_render_fused_jit = jax.jit(
+    _render_fused, static_argnums=(7, 9, 10, 11, 13, 14, 15)
+)

@@ -91,6 +91,10 @@ _PAR_FIELDS = [
     ("pitch_scale", np.float32),
     ("srate_ratio", np.float64),
     ("release_req", np.int32),
+    # offset of this voice's loop view inside the extended wavetable
+    # (see Synthesizer.wave_ext; -1 when the region has no usable loop).
+    # Consumed only by the windowed-DMA oscillator path for large fonts.
+    ("lv_off", np.int32),
 ]
 
 _CH_FIELDS = [
@@ -340,6 +344,19 @@ class Synthesizer:
                 self._default_preset = preset
 
         self._wave = jnp.asarray(sound_font.wave_data, jnp.float32)
+        # Loop views for the windowed-DMA oscillator (large fonts): each
+        # distinct (loop_start, loop_end) gets a contiguous copy of its
+        # loop tiled out to loop_len + guard samples, appended after the
+        # original wave, so in-block reads never wrap (the guard covers
+        # one block at pitch ratio <= 8) and sustained loops keep a
+        # STATIC window (no DMA refresh). Offsets are 128-aligned (DMA
+        # tiling). Views are registered lazily at note_on; the extended
+        # wavetable materializes on first use (wave_ext()).
+        self._lv_guard = 8 * self._block_size + 2
+        self._lv_map: dict[tuple[int, int], int] = {}
+        self._lv_total = 0  # samples appended past the original wave
+        self._wave_ext_cache = None
+        self._wave_ext_n_views = -1
         self._channels = [
             Channel(i == self._PERCUSSION_CHANNEL)
             for i in range(self._CHANNEL_COUNT)
@@ -348,6 +365,7 @@ class Synthesizer:
         P = self._maximum_polyphony
         self._par = {name: np.zeros(P, dtype=dt) for name, dt in _PAR_FIELDS}
         self._par["release_req"][:] = _NO_RELEASE
+        self._par["lv_off"][:] = -1
         self._par["vib_period"][:] = 0.0
         self._par["srate_ratio"][:] = 1.0
         # host mirrors for allocation
@@ -659,11 +677,72 @@ class Synthesizer:
         p["pitch_scale"][slot] = vp.pitch_change_scale
         p["srate_ratio"][slot] = vp.sample_rate_ratio
         p["release_req"][slot] = _NO_RELEASE
+        p["lv_off"][slot] = self._loop_view_offset(
+            int(vp.start_loop), int(vp.end_loop)
+        )
         self._host_active[slot] = vp.note_gain >= NON_AUDIBLE
         self._host_voice_blocks[slot] = 0
         self._slot_exclusive_class[slot] = vp.exclusive_class
 
     _slot_exclusive_class: np.ndarray
+
+    # ---- loop views for the windowed-DMA oscillator ----------------------
+
+    def _loop_view_offset(self, loop_start: int, loop_end: int) -> int:
+        """Register (or look up) the loop view for a region's loop.
+
+        Returns the 128-aligned offset of the view inside the extended
+        wavetable, or -1 for degenerate loops. Views are just offsets
+        until ``wave_ext()`` materializes them.
+        """
+        ll = loop_end - loop_start
+        L = len(self._sound_font.wave_data)
+        if ll < 1 or loop_start < 0 or loop_end > L:
+            return -1
+        key = (loop_start, loop_end)
+        off = self._lv_map.get(key)
+        if off is None:
+            off = -(-L // 128) * 128 + self._lv_total
+            view_len = ll + self._lv_guard
+            self._lv_total += -(-view_len // 128) * 128
+            self._lv_map[key] = off
+        return off
+
+    def wave_ext(self) -> jnp.ndarray:
+        """The extended wavetable: original wave (padded to 128), then one
+        tiled view per registered loop (loop content cyclically repeated to
+        loop_len + guard samples, zero-padded to a 128 multiple), then a
+        zero tail of one maximal window so window DMA never reads out of
+        bounds. Rebuilt (and re-uploaded) only when new loops appeared
+        since the last materialization.
+        """
+        if (
+            self._wave_ext_cache is not None
+            and self._wave_ext_n_views == len(self._lv_map)
+        ):
+            return self._wave_ext_cache
+        wave = np.asarray(self._sound_font.wave_data, np.float32)
+        L = len(wave)
+        Lp = -(-L // 128) * 128
+        # one maximal window of zeros (window_w <= lv_guard + 130 + 128),
+        # rounded so the extended wavetable stays 128-aligned throughout
+        tail = -(-(self._lv_guard + 1024) // 128) * 128
+        parts = [wave, np.zeros(Lp - L, np.float32)]
+        # materialize in offset order (insertion order == offset order)
+        for (ls, le), off in self._lv_map.items():
+            ll = le - ls
+            view_len = ll + self._lv_guard
+            reps = -(-view_len // ll)
+            view = np.tile(wave[ls:le], reps)[:view_len]
+            pad = -(-view_len // 128) * 128 - view_len
+            parts.append(view)
+            if pad:
+                parts.append(np.zeros(pad, np.float32))
+        parts.append(np.zeros(tail, np.float32))
+        ext = np.concatenate(parts)
+        self._wave_ext_cache = jnp.asarray(ext)
+        self._wave_ext_n_views = len(self._lv_map)
+        return self._wave_ext_cache
 
     def _sync_active(self):
         """Pull the device's liveness verdict back to the host mirror."""

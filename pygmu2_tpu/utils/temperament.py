@@ -116,8 +116,12 @@ class JustIntonation(Temperament):
         return self._num_notes
 
     def _interp_ratio(self, scale_degrees) -> np.ndarray:
-        """Ratio for (possibly fractional) scale degrees in [0, num_notes)."""
-        deg = np.atleast_1d(np.asarray(scale_degrees, dtype=np.float64))
+        """Ratio for (possibly fractional) scale degrees in [0, num_notes).
+
+        Shape-preserving: scalar in → 0-d out (so ``float(...)`` on the
+        result stays legal under NumPy ≥ 1.25).
+        """
+        deg = np.asarray(scale_degrees, dtype=np.float64)
         lo = np.floor(deg).astype(int) % self._num_notes
         frac = deg - np.floor(deg)
         hi = (lo + 1) % self._num_notes
@@ -142,11 +146,11 @@ class JustIntonation(Temperament):
     def freq_to_pitch(self, freq, reference_pitch=69.0, reference_freq=440.0):
         freq = np.maximum(np.asarray(freq, dtype=np.float64), 1e-10)
         base_freq = reference_freq / self._ratio_from_reference(reference_pitch)
-        ratio = np.atleast_1d(freq / base_freq)
+        ratio = freq / base_freq
         octaves = np.floor(np.log2(ratio))
         in_octave = ratio / 2.0 ** octaves
         # Nearest table entry (broadcast; the mapping is approximate by design).
-        idx = np.argmin(np.abs(self._ratios[None, :] - in_octave[..., None]), axis=-1)
+        idx = np.argmin(np.abs(self._ratios - in_octave[..., None]), axis=-1)
         return self._reference_pitch + octaves * self._num_notes + idx
 
     def interval_to_ratio(self, interval):
@@ -154,10 +158,10 @@ class JustIntonation(Temperament):
         return self._interp_ratio(degree) * 2.0 ** octaves
 
     def ratio_to_interval(self, ratio):
-        ratio = np.atleast_1d(np.maximum(np.asarray(ratio, dtype=np.float64), 1e-10))
+        ratio = np.maximum(np.asarray(ratio, dtype=np.float64), 1e-10)
         octaves = np.floor(np.log2(ratio))
         in_octave = ratio / 2.0 ** octaves
-        idx = np.argmin(np.abs(self._ratios[None, :] - in_octave[..., None]), axis=-1)
+        idx = np.argmin(np.abs(self._ratios - in_octave[..., None]), axis=-1)
         return octaves * self._num_notes + idx
 
     def name(self) -> str:

@@ -77,6 +77,42 @@ class TestTimeShardedStateful:
             sharded[2048:], single[2048:], atol=1e-5
         )
 
+    def test_halo_rejects_non_decaying_state(self):
+        # a modulated sine carries a phase accumulator: its state
+        # depends on where rendering started and never converges in a
+        # warm-up. The gate must refuse rather than silently diverge.
+        mesh = default_mesh(8, axis="t")
+        with pytest.raises(ValueError, match="non-decaying.*SinePE"):
+            render_time_sharded_stateful(
+                self._graph(), 0, 8 * 2048, mesh, block=1024, halo=4096
+            )
+
+    def test_halo_rejects_brown_noise_accepts_pink(self):
+        mesh = default_mesh(8, axis="t")
+        brown = pg.BiquadPE(
+            pg.NoisePE(seed=3, mode=pg.NoiseMode.BROWN), 2000.0, 0.8
+        )
+        with pytest.raises(ValueError, match="NoisePE"):
+            render_time_sharded_stateful(
+                brown, 0, 8 * 2048, mesh, block=1024, halo=4096
+            )
+        pink = pg.BiquadPE(
+            pg.NoisePE(seed=3, mode=pg.NoiseMode.PINK), 2000.0, 0.8
+        )
+        out = render_time_sharded_stateful(
+            pink, 0, 8 * 2048, mesh, block=1024, halo=4096
+        )
+        assert np.isfinite(out).all()
+
+    def test_exact_relay_unaffected_by_gate(self):
+        # halo=0 (exact mode) must keep accepting non-decaying state
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_stateful(
+            self._graph(), 0, total, mesh, block=1024, halo=0
+        )
+        assert np.isfinite(sharded).all()
+
 
 @needs_mesh
 class TestVoiceSharded:
