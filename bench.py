@@ -21,14 +21,16 @@ import sys
 import time
 
 
-def build_workload():
-    import numpy as np
-
-    from pygmu2_tpu.soundfont import MidiFile, SoundFont, Synthesizer, SynthesizerSettings
+def build_font_bytes(large: bool = False) -> bytes:
+    """The benchmark font. ``large=False``: the round-1/2 toy font
+    (~1.4k samples, rides the resident fused kernel). ``large=True``: a
+    realistic-size multi-preset font (~1M samples — the TimGM6mb asset
+    class; stripped from the mirror, so synthesized) that exercises the
+    windowed-DMA oscillator."""
     from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
 
-    font = SoundFont(
-        build_sf2(
+    if not large:
+        return build_sf2(
             [
                 {
                     "data": make_looped_sample(261.63, harmonics=6),
@@ -40,9 +42,31 @@ def build_workload():
                 }
             ]
         )
-    )
+    samples = []
+    for i in range(12):
+        freq = 110.0 * 2 ** (i / 4.0)
+        cycles = int(40000 * (1 + i % 3) / (44100 / freq))
+        samples.append(
+            {
+                "data": make_looped_sample(
+                    freq, harmonics=5, cycles=max(cycles, 4)
+                ),
+                "rate": 44100,
+                "root_key": 45 + 3 * i,
+                "key_lo": 0 if i == 0 else 44 + 3 * i,
+                "key_hi": 127 if i == 11 else 43 + 3 * (i + 1),
+                "loop": (i % 4 != 3),
+                "attack_tc": -9000,
+                "release_tc": -4000,
+            }
+        )
+    # one preset, key-ranged zones across the keyboard — the shape of a
+    # real GM instrument (multi-sample piano)
+    return build_sf2(samples, multizone=True)
 
-    # 128-voice chord spread over 16 channels; note-offs at 2.0 s.
+
+def build_midi_bytes() -> bytes:
+    """128-voice chord spread over 16 channels; note-offs at 2.0 s."""
     events = []
     keys = [48, 52, 55, 60, 64, 67, 72, 76]
     for ch in range(16):
@@ -69,7 +93,7 @@ def build_workload():
         body += varint(tick - last) + bytes([status, d1, d2])
         last = tick
     body += varint(0) + b"\xff\x2f\x00"
-    midi = MidiFile(
+    return (
         b"MThd"
         + struct.pack(">ihhh", 6, 0, 1, resolution)
         + b"MTrk"
@@ -77,6 +101,12 @@ def build_workload():
         + body
     )
 
+
+def build_workload(large_font: bool = False):
+    from pygmu2_tpu.soundfont import MidiFile, SoundFont, Synthesizer, SynthesizerSettings
+
+    font = SoundFont(build_font_bytes(large=large_font))
+    midi = MidiFile(build_midi_bytes())
     synth = Synthesizer(
         font,
         SynthesizerSettings(

@@ -34,6 +34,10 @@ import jax.numpy as jnp
 _ONEHOT_MAX_ROWS = 128
 _FALLBACK_LANES = 128
 
+# Test hook: exercise the TPU one-hot/row-gather code paths on CPU
+# (normally CPU short-circuits to a native gather).
+FORCE_DEVICE_PATHS = False
+
 
 def _pick_width(L: int) -> int:
     # minimize R + 2 * width with R = L / width  ->  width ~ sqrt(L / 2)
@@ -71,6 +75,11 @@ def paired_table_lookup(tables: jnp.ndarray, idx: jnp.ndarray):
     L, K = tables.shape
     shape = idx.shape
     ix = idx.reshape(-1)
+    if jax.default_backend() != "tpu" and not FORCE_DEVICE_PATHS:
+        # the one-hot/row-gather machinery exists for TPU's scalar-loop
+        # gather lowering; CPU (tests, fallbacks) gathers natively fast
+        # and the row-gather's (S, 128) intermediate is pure overhead
+        return tuple(tables[:, k][ix].reshape(shape) for k in range(K))
     width = _pick_width(L)
     if -(-L // width) <= _ONEHOT_MAX_ROWS:
         R = -(-L // width)

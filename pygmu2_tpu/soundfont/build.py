@@ -63,12 +63,16 @@ def make_looped_sample(
 def build_sf2(
     samples: list[dict] | None = None,
     name: str = "TestFont",
+    multizone: bool = False,
 ) -> bytes:
     """Build an SF2. Each sample dict:
     {data: int16 array, rate: int, root_key: int, loop: bool,
      attack_tc/hold_tc/decay_tc/release_tc/sustain_cb: optional generators,
      key_lo, key_hi: optional key range}
-    One preset (bank 0, patch i) per sample.
+    One preset (bank 0, patch i) per sample — or, with ``multizone``,
+    ONE preset (bank 0, patch 0) whose single instrument has one
+    key-ranged zone per sample (the shape of real GM instruments:
+    a piano preset spanning many samples across the keyboard).
     """
     if samples is None:
         samples = [{"data": make_looped_sample(), "rate": 44100, "root_key": 60, "loop": True}]
@@ -146,18 +150,29 @@ def build_sf2(
         ibag += struct.pack("<HH", len(igen) // 4, 0)
         for oper, amount in gens:
             igen += struct.pack("<Hh", oper, amount)
-        inst += _zstr(f"inst{i}", 20) + struct.pack("<H", i)
+        if not multizone:
+            inst += _zstr(f"inst{i}", 20) + struct.pack("<H", i)
 
-        # preset: one zone pointing at the instrument
-        phdr += _zstr(f"preset{i}", 20) + struct.pack(
-            "<HHHIII", s.get("patch", i), s.get("bank", 0), i, 0, 0, 0
-        )
+            # preset: one zone pointing at the instrument
+            phdr += _zstr(f"preset{i}", 20) + struct.pack(
+                "<HHHIII", s.get("patch", i), s.get("bank", 0), i, 0, 0, 0
+            )
+            pbag += struct.pack("<HH", len(pgen) // 4, 0)
+            pgen += struct.pack("<Hh", GEN_INSTRUMENT, i)
+
+    if multizone:
+        # one instrument holding every zone above; one preset at patch 0
+        inst += _zstr("inst0", 20) + struct.pack("<H", 0)
+        phdr += _zstr("preset0", 20) + struct.pack("<HHHIII", 0, 0, 0, 0, 0, 0)
         pbag += struct.pack("<HH", len(pgen) // 4, 0)
-        pgen += struct.pack("<Hh", GEN_INSTRUMENT, i)
+        pgen += struct.pack("<Hh", GEN_INSTRUMENT, 0)
+        n_inst = 1
+    else:
+        n_inst = len(samples)
 
     k = len(samples)
     # terminal records
-    phdr += _zstr("EOP", 20) + struct.pack("<HHHIII", 0, 0, k, 0, 0, 0)
+    phdr += _zstr("EOP", 20) + struct.pack("<HHHIII", 0, 0, n_inst, 0, 0, 0)
     pbag += struct.pack("<HH", len(pgen) // 4, 0)
     pgen += struct.pack("<Hh", 0, 0)
     inst += _zstr("EOI", 20) + struct.pack("<H", k)
