@@ -116,54 +116,57 @@ def build_workload(large_font: bool = False):
     return synth, midi
 
 
-def main():
+def _measure_font(large_font: bool, seconds: float, n_chain: int = 50):
+    """(e2e walls, stage breakdown, amortized device time) for one font."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    synth, midi = build_workload()
-    seconds = 3.0
-
+    from pygmu2_tpu.soundfont import offline as _off
     from pygmu2_tpu.soundfont.offline import render_midi_offline
 
-    # Warm-up (compile + event simulation).
+    synth, midi = build_workload(large_font=large_font)
+
+    # Warm-up (compile + event simulation), both wire formats.
     out = render_midi_offline(synth, midi, seconds)
     assert np.isfinite(out).all() and np.abs(out).max() > 0.01
+    render_midi_offline(synth, midi, seconds, wire="int16")
 
-    runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = render_midi_offline(synth, midi, seconds)
-        runs.append(time.perf_counter() - t0)
-    wall = min(runs)
-    rtf = seconds / wall
-    total = int(seconds * 44100)
+    def e2e(wire):
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            render_midi_offline(synth, midi, seconds, wire=wire)
+            runs.append(time.perf_counter() - t0)
+        return min(runs)
+
+    wall_f32 = e2e("f32")
+    wall_i16 = e2e("int16")
 
     # Stage breakdown (informational): schedule (host) / execute (device)
     # / download (link). Through the dev tunnel the link dominates; on a
     # host-attached chip it is negligible.
-    import jax.numpy as jnp
-    from pygmu2_tpu.soundfont import offline as _off
-
     t0 = time.perf_counter()
     par_np, ch_np, snap_idx, _nb = synth.build_schedule(midi, seconds)
     packed = _off._pack_schedule(par_np, ch_np)
+    wave_ext, win_w = _off._window_args(synth, par_np, ch_np)
     t1 = time.perf_counter()
     r = _off._render_fused_jit(
         *packed[:5], jnp.asarray(snap_idx), synth._wave, synth.block_size,
         float(synth.master_volume), packed[5],
         int(synth._minimum_voice_duration), float(synth.sample_rate),
+        wave_ext, win_w, False, "int16",
     )
     jax.block_until_ready(r)
     t2 = time.perf_counter()
     np.asarray(r)
     t3 = time.perf_counter()
     synth.reset()
-    # amortized device time: ONE dispatch running 50 dependent renders
-    # back-to-back inside a jitted fori_loop (each per-call dispatch
-    # through the dev tunnel pays a ~3 ms synchronous round-trip that
-    # has nothing to do with the chip; the chain amortizes exactly one.
-    # jax.profiler ground truth: 2.28 ms kernel + 30 us glue per render,
-    # back-to-back, on a v5e chip)
+    # amortized device time: ONE dispatch running n_chain dependent
+    # renders back-to-back inside a jitted fori_loop (each per-call
+    # dispatch through the dev tunnel pays a ~3 ms synchronous round-trip
+    # that has nothing to do with the chip; the chain amortizes exactly
+    # one. jax.profiler device tracks are the ground truth.)
     si = jnp.asarray(snap_idx)
 
     @jax.jit
@@ -173,22 +176,38 @@ def main():
                 pf32 + acc * 1e-30, pi32, pf64, cf32, chold_, si,
                 synth._wave, synth.block_size, float(synth.master_volume),
                 packed[5], int(synth._minimum_voice_duration),
-                float(synth.sample_rate),
+                float(synth.sample_rate), wave_ext, win_w,
             )
             return acc + r[0, 0] * 1e-30  # data dependency: no CSE
-        return jax.lax.fori_loop(0, 50, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0.0))
 
     jax.block_until_ready(_chain(*packed[:5]))  # compile
     t4 = time.perf_counter()
     jax.block_until_ready(_chain(*packed[:5]))
-    exec_amort = (time.perf_counter() - t4) / 50
+    exec_amort = (time.perf_counter() - t4) / n_chain
     stages = {
         "schedule_host_ms": round(1e3 * (t1 - t0), 1),
         "execute_device_ms": round(1e3 * (t2 - t1), 1),
-        "execute_amortized_ms": round(1e3 * exec_amort, 1),
+        "execute_amortized_ms": round(1e3 * exec_amort, 2),
         "device_only_rtf": round(seconds / exec_amort, 0),
         "download_link_ms": round(1e3 * (t3 - t2), 1),
     }
+    return wall_f32, wall_i16, stages
+
+
+def main():
+    import jax
+
+    seconds = 3.0
+    total = int(seconds * 44100)
+
+    wall_f32, wall_i16, stages = _measure_font(False, seconds)
+    lg_f32, lg_i16, lg_stages = _measure_font(True, seconds, n_chain=20)
+
+    # Headline: end-to-end realtime factor shipping DAC-ready int16 PCM
+    # (the render itself is float32; wire format only changes transfer
+    # bytes — f32 numbers reported alongside).
+    rtf = seconds / wall_i16
 
     print(
         json.dumps(
@@ -198,11 +217,20 @@ def main():
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 12.37, 2),
                 "detail": {
-                    "wall_s": round(wall, 4),
-                    "msamples_per_s": round(total / wall / 1e6, 1),
+                    "wall_s": round(wall_i16, 4),
+                    "wall_f32_s": round(wall_f32, 4),
+                    "rtf_f32_wire": round(seconds / wall_f32, 1),
+                    "msamples_per_s": round(total / wall_i16 / 1e6, 1),
                     "backend": jax.default_backend(),
                     "stages": stages,
-                    "workload": "128-voice SoundFont MIDI render, 3 s @ 44.1 kHz, block 1024",
+                    "large_font": {
+                        "wall_s": round(lg_i16, 4),
+                        "rtf": round(seconds / lg_i16, 1),
+                        "rtf_f32_wire": round(seconds / lg_f32, 1),
+                        "stages": lg_stages,
+                        "workload": "same 128-voice score, ~1M-sample multizone font (windowed-DMA oscillator)",
+                    },
+                    "workload": "128-voice SoundFont MIDI render, 3 s @ 44.1 kHz, block 1024, int16 wire",
                     "baseline": "reference vectorized meltysynth 12.37x realtime (CPU)",
                 },
             }

@@ -222,8 +222,17 @@ class MixPE(ProcessingElement):
 
     def _trace(self, ctx):
         total = None
-        for inp in self._inputs:
+        for i, inp in enumerate(self._inputs, start=1):
             x = ctx.pull(inp)
+            if total is not None and x.shape[1] != total.shape[1]:
+                # channel_count() reports the first input, so the static
+                # validator cannot see a mismatch — catch it here rather
+                # than let jnp broadcasting mix (N,1)+(N,2) silently
+                # (reference mix_pe.py:24-25: all inputs must match).
+                raise ValueError(
+                    f"MixPE input channel mismatch: input 1 has "
+                    f"{total.shape[1]} channels, input {i} has {x.shape[1]}"
+                )
             total = x if total is None else total + x
         return total
 

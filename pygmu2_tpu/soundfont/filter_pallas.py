@@ -351,6 +351,14 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
     ``tpu.dynamic_gather`` and the gathered samples transpose back —
     i32 indices ride the f32 transpose (values < 2^24, exact).
 
+    The windows live in a (KS, P, 128) scratch so slab s is a DYNAMIC
+    leading-dim slice ``win[pl.ds(s, 1)]``: the gather loop runs only
+    [row_lo, row_hi) — per-sub-chunk bounds over all voices, computed
+    outside the kernel — instead of unrolling all KS slabs. At typical
+    pitch ratios a sub-chunk touches ~2-4 rows of its window, so this
+    is ~20x less gather work than the full sweep (and the kernel body
+    stays small enough to compile quickly).
+
     Window refresh is CONDITIONAL per (block, voice): a scalar loop
     compares the SMEM ``ws`` plane against the per-voice current window
     and DMAs only voices whose window moved — sustained looping notes
@@ -362,7 +370,7 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
     rows_w = W // 128
     ralign = align // 128  # window start alignment in 128-lane rows
 
-    def kernel(wave_ref, ws_smem, *refs):
+    def kernel(wave_ref, ws_smem, lo_smem, hi_smem, *refs):
         nf, ni = len(_WIN_F32_T), len(_WIN_I32_T)
         tf = dict(zip(_WIN_F32_T, refs[:nf]))
         ti = dict(zip(_WIN_I32_T, refs[nf : nf + ni]))
@@ -390,8 +398,8 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
                         ralign,
                     )
                     pltpu.make_async_copy(
-                        wave_ref.at[pl.ds(row0, rows_w), :],
-                        win.at[p],
+                        wave_ref.at[pl.ds(row0, rows_w), :, :],
+                        win.at[:, pl.ds(p, 1), :],
                         sem.at[p],
                     ).start()
 
@@ -408,8 +416,8 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
                         ralign,
                     )
                     pltpu.make_async_copy(
-                        wave_ref.at[pl.ds(row0, rows_w), :],
-                        win.at[p],
+                        wave_ref.at[pl.ds(row0, rows_w), :, :],
+                        win.at[:, pl.ds(p, 1), :],
                         sem.at[p],
                     ).wait()
 
@@ -456,20 +464,28 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
             # f32 transpose (Mosaic has no native i32 transpose here)
             widx_t = widx.astype(jnp.float32).T.astype(jnp.int32)  # (P, CS)
             w1_t = widx_t + 1
-            acc0 = jnp.zeros((P, CS), jnp.float32)
-            acc1 = jnp.zeros((P, CS), jnp.float32)
-            for s in range(KS):
-                slab = win[:, s, :]
-                acc0 = jnp.where(
-                    jax.lax.shift_right_logical(widx_t, jnp.int32(7)) == s,
-                    _lane_gather(slab, jnp.bitwise_and(widx_t, jnp.int32(127))),
-                    acc0,
-                )
-                acc1 = jnp.where(
-                    jax.lax.shift_right_logical(w1_t, jnp.int32(7)) == s,
-                    _lane_gather(slab, jnp.bitwise_and(w1_t, jnp.int32(127))),
-                    acc1,
-                )
+            q0 = jax.lax.shift_right_logical(widx_t, jnp.int32(7))
+            q1 = jax.lax.shift_right_logical(w1_t, jnp.int32(7))
+            c0 = jnp.bitwise_and(widx_t, jnp.int32(127))
+            c1 = jnp.bitwise_and(w1_t, jnp.int32(127))
+            i = blk * jnp.int32(cpb) + j
+
+            def slab_body(s, accs):
+                a0, a1 = accs
+                slab = win[pl.ds(s, 1)].reshape(P, 128)
+                a0 = jnp.where(q0 == s, _lane_gather(slab, c0), a0)
+                a1 = jnp.where(q1 == s, _lane_gather(slab, c1), a1)
+                return (a0, a1)
+
+            acc0, acc1 = jax.lax.fori_loop(
+                lo_smem[i],
+                hi_smem[i],
+                slab_body,
+                (
+                    jnp.zeros((P, CS), jnp.float32),
+                    jnp.zeros((P, CS), jnp.float32),
+                ),
+            )
             smp = (1.0 - frac) * acc0.T + frac * acc1.T  # back to (CS, P)
             valid = looping | (abs_idx < rowi("smp_end"))
             return jnp.where(valid, smp, 0.0)
@@ -507,6 +523,50 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
     return kernel
 
 
+def _window_row_bounds(rows, W: int, cpb: int, CS: int):
+    """Per-sub-chunk window-row ranges over all live voices.
+
+    Returns (lo, hi) int32 arrays of shape (B * cpb,): the gather loop
+    for sub-chunk i touches window rows [lo[i], hi[i]) only. Bounds are
+    widened by one row each way so float32 rounding differences between
+    this computation and the in-kernel index math can never drop a read.
+    """
+    KS = W // 128
+    e = lambda k: rows[k][:, None, :]  # (B, 1, P)
+    ratio = jnp.asarray(e("ratio"), jnp.float32)
+    base_frac = jnp.asarray(e("base_frac"), jnp.float32)
+    base_int = jnp.asarray(e("base_int"), jnp.int32)
+    ls = jnp.asarray(e("loop_start"), jnp.int32)
+    ll = jnp.maximum(jnp.asarray(e("loop_len"), jnp.int32), 1)
+    ws = jnp.asarray(e("ws"), jnp.int32)
+    loopi = rows["loopf"][:, None, :] > 0.5
+    alive = rows["alive"][:, None, :] > 0.5
+
+    j = jnp.arange(cpb, dtype=jnp.float32)[None, :, None]  # (1, cpb, 1)
+    o0 = jnp.floor(base_frac + (j * CS) * ratio).astype(jnp.int32)
+    o1 = jnp.floor(base_frac + (j * CS + (CS - 1)) * ratio).astype(jnp.int32) + 1
+    i_lo = base_int + o0
+    i_hi = base_int + o1
+    # anchored loops wrap in view coordinates: phase range within [0, ll)
+    d = o1 - o0
+    w0 = jnp.mod(i_lo - ls, ll)
+    spans_wrap = (w0 + d >= ll) | (d >= ll)
+    a_lo = jnp.where(spans_wrap, 0, w0)
+    a_hi = jnp.where(spans_wrap, ll + 1, w0 + d)
+    lo_idx = jnp.where(loopi, ls + a_lo, i_lo) - ws
+    hi_idx = jnp.where(loopi, ls + a_hi, i_hi) - ws
+    r_lo = jnp.clip(lo_idx >> 7, 0, KS - 1) - 1  # widen
+    r_hi = jnp.clip(hi_idx >> 7, 0, KS - 1) + 1
+    r_lo = jnp.where(alive, r_lo, KS)
+    r_hi = jnp.where(alive, r_hi, -1)
+    lo = jnp.maximum(jnp.min(r_lo, axis=2), 0)  # (B, cpb)
+    hi = jnp.minimum(jnp.max(r_hi, axis=2), KS - 1) + 1  # exclusive
+    return (
+        lo.reshape(-1).astype(jnp.int32),
+        hi.reshape(-1).astype(jnp.int32),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("N", "W", "align", "chunk", "interpret")
 )
@@ -517,7 +577,7 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
 
     rows: dict of (B, P) control planes — the _FILTER_ROWS gains/coeffs
     plus the output of ``offline.window_osc_rows`` (ratio, base_frac,
-    loopf, base_int, loop_start, loop_len, smp_end, ws — view
+    loopf, base_int, loop_start, loop_len, smp_end, alive, ws — view
     coordinates; ``ws`` 128-aligned window starts).
     wave_ext: (L_ext,) float32 extended wavetable (lives in HBM; only
     per-voice windows of W samples ever enter VMEM). L_ext % 128 == 0.
@@ -533,15 +593,17 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
         state = jnp.zeros((4, P), jnp.float32)
     n_chunks = T // chunk
 
-    wave2d = wave_ext.reshape(L_ext // 128, 128)
+    wave3d = wave_ext.reshape(L_ext // 128, 1, 128)
     tf = [jnp.asarray(rows[k], jnp.float32) for k in _WIN_F32_T]
     ti_src = dict(rows)
     ti_src["loopi"] = (rows["loopf"] > 0.5)
     ti = [jnp.asarray(ti_src[k], jnp.int32) for k in _WIN_I32_T]
     frows = [jnp.asarray(rows[k], jnp.float32) for k in _FILTER_ROWS]
     ws = jnp.asarray(rows["ws"], jnp.int32)
+    lo, hi = _window_row_bounds(rows, W, N // chunk, chunk)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     L, R, st_out = pl.pallas_call(
         _make_window_kernel(N, chunk, B, W, align),
         out_shape=(
@@ -549,20 +611,21 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
             jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
             jax.ShapeDtypeStruct((4, P), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), sspec, sspec, sspec]
         + [vspec] * (len(_WIN_F32_T) + len(_WIN_I32_T) + len(_FILTER_ROWS) + 2),
         out_specs=(vspec, vspec, vspec),
         scratch_shapes=[
-            pltpu.VMEM((P, W // 128, 128), jnp.float32),  # per-voice windows
+            pltpu.VMEM((W // 128, P, 128), jnp.float32),  # per-voice windows
             pltpu.SemaphoreType.DMA((P,)),
             pltpu.SMEM((P,), jnp.int32),  # current window starts
             pltpu.SMEM((P,), jnp.int32),  # changed flags
         ],
         interpret=interpret,
     )(
-        wave2d,
+        wave3d,
         ws,
+        lo,
+        hi,
         *tf,
         *ti,
         *frows,

@@ -600,6 +600,9 @@ def window_osc_rows(ctrl, W: int, L_ext: int, align: int = 128):
         loop_len=ll,
         smp_end=smp_end_o,
         ws=ws,
+        # liveness for the per-sub-chunk gather row bounds (dead voices
+        # must not widen the loop range)
+        alive=alive.astype(jnp.float32),
     )
 
 
@@ -925,9 +928,18 @@ def _window_args(synth, par_np, ch_np):
         return None, None
     if synth._wave.shape[0] <= OSC_KERNEL_MAX_WAVE:
         return None, None
-    if _ratio_bound(synth, par_np, ch_np) > WINDOW_RATIO_BUCKET:
+    bound = _ratio_bound(synth, par_np, ch_np)
+    if bound > WINDOW_RATIO_BUCKET:
         return None, None
-    return synth.wave_ext(), window_w(synth.block_size, WINDOW_RATIO_BUCKET)
+    # smallest power-of-two bucket covering the schedule's actual pitch
+    # range: most music stays within an octave of the sample roots
+    # (bucket 2), so windows — and the per-block DMA refresh traffic —
+    # are 4x smaller than the worst-case provisioning. Loop-view guards
+    # are sized for bucket 8, so any smaller bucket is always safe.
+    bucket = 2
+    while bucket < bound:
+        bucket *= 2
+    return synth.wave_ext(), window_w(synth.block_size, bucket)
 
 
 def render_midi_offline(synth, midi_file, seconds: float,

@@ -66,7 +66,12 @@ def main():
                 s.note_off(msg.channel, msg.note)
 
         midi_in = pg.MidiInPE(port_name=args.port, callback=callback)
-        graph = pg.MixPE(pg.GainPE(midi_in, 0.0), synth_pe)
+        # adapt the mono drain branch to the synth's stereo before mixing
+        # (reference scripts/meltysynth_midi_demo.py:95 does the same)
+        drain = pg.SpatialPE(
+            pg.GainPE(midi_in, 0.0), method=pg.SpatialAdapter(channels=2)
+        )
+        graph = pg.MixPE(drain, synth_pe)
         renderer = pg.AudioRenderer(blocksize=256)
         renderer.set_source(graph)
         with renderer:

@@ -27,7 +27,10 @@ def test_live_midi_to_audio(tmp_path):
             *msg
         ),
     )
-    graph = pg.MixPE(midi_pe, synth_pe)
+    # mono drain branch adapted to the synth's stereo (reference
+    # meltysynth_midi_demo.py:95 pattern; MixPE requires matching channels)
+    midi_2ch = pg.SpatialPE(midi_pe, method=pg.SpatialAdapter(channels=2))
+    graph = pg.MixPE(midi_2ch, synth_pe)
 
     with pg.NullRenderer() as r:
         r.set_source(graph)
@@ -67,7 +70,10 @@ def test_pull_order_midi_before_synth(tmp_path):
             *msg
         ),
     )
-    graph = pg.MixPE(midi_pe, synth_pe)
+    # mono drain branch adapted to the synth's stereo (reference
+    # meltysynth_midi_demo.py:95 pattern; MixPE requires matching channels)
+    midi_2ch = pg.SpatialPE(midi_pe, method=pg.SpatialAdapter(channels=2))
+    graph = pg.MixPE(midi_2ch, synth_pe)
     with pg.NullRenderer() as r:
         r.set_source(graph)
         r.start()

@@ -41,7 +41,9 @@ def large_font_bytes() -> bytes:
     unwrapped through their loop views), one non-looping sweep."""
     return build_sf2(
         [
-            {"data": make_looped_sample(523.25, harmonics=3, cycles=8),
+            # small loop (420 samples): ANCHORED even at the minimum
+            # window bucket (W = 512 at block 128)
+            {"data": make_looped_sample(523.25, harmonics=3, cycles=5),
              "rate": SR, "root_key": 72, "loop": True},
             {"data": make_looped_sample(110.0, harmonics=6, cycles=40),
              "rate": SR, "root_key": 45, "loop": True},
@@ -163,6 +165,37 @@ class TestWindowKernel:
         assert np.abs(ref[-SR // 100 :]).max() > 1e-4  # still sounding
         np.testing.assert_allclose(got, ref, atol=2e-5)
 
+    def test_anchoring_decision(self, font):
+        """The 420-sample loop anchors (static window, loopf=1); the
+        long loops read unwrapped views (loopf=0, smp_end pushed out)."""
+        import jax.numpy as jnp
+
+        s = _synth(font)
+        midi = MidiFile(build_midi(demo_events()))
+        par, ch, snap, _ = s.build_schedule(midi, 0.1)
+        ctrl = off.compute_control(s, par, ch, snap)
+        off.FORCE_PALLAS_INTERPRET = True
+        try:
+            wave_ext, win_w = off._window_args(s, par, ch)
+        finally:
+            off.FORCE_PALLAS_INTERPRET = False
+        ctrl_j = {k: jnp.asarray(v) for k, v in ctrl.items()}
+        rows = off.window_osc_rows(ctrl_j, win_w, int(wave_ext.shape[0]))
+        loopf = np.asarray(rows["loopf"])
+        alive = np.asarray(ctrl["alive"])
+        looping = np.asarray(ctrl["looping"])
+        ll = np.asarray(ctrl["loop_len"])
+        small = alive & looping & (ll + 2 <= win_w)
+        big = alive & looping & (ll + 2 > win_w)
+        assert small.any() and big.any()  # both classes present
+        assert (loopf[small] == 1.0).all()
+        assert (loopf[big] == 0.0).all()
+        # anchored voices keep a CONSTANT window start for the note
+        ws = np.asarray(rows["ws"])
+        col = np.argwhere(small.any(axis=0)).ravel()[0]
+        live_blocks = small[:, col]
+        assert len(np.unique(ws[live_blocks, col])) == 1
+
 
 class TestWindowArgsGate:
     def test_small_font_stays_resident(self):
@@ -192,7 +225,14 @@ class TestWindowArgsGate:
         finally:
             off.FORCE_PALLAS_INTERPRET = False
         assert ext is not None
-        assert w == off.window_w(128, off.WINDOW_RATIO_BUCKET)
+        # adaptive bucket: smallest power-of-two (>= 2) covering the
+        # schedule's actual pitch-ratio bound, never the worst case
+        bound = off._ratio_bound(s, par, ch)
+        bucket = 2
+        while bucket < bound:
+            bucket *= 2
+        assert bucket <= off.WINDOW_RATIO_BUCKET
+        assert w == off.window_w(128, bucket)
         assert int(ext.shape[0]) % 128 == 0
 
     def test_out_of_provision_ratio_falls_back(self, font):
