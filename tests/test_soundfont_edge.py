@@ -86,3 +86,54 @@ def test_percussion_channel_uses_bank_128():
     events = [(0.0, 0x99, 60, 100)]
     out = _both(font, events, 0.3)
     assert np.abs(out).max() > 1e-3
+
+
+def test_fused_path_block_640_resident_kernel():
+    """Block sizes that pass the N % 128 == 0 fused gate but do not
+    divide 512 (e.g. 640) must pick a valid chunk via gcd, not trip the
+    kernel's divisibility assert (advisor round-2 finding:
+    filter_pallas.py osc_filter_gain_mix_pallas chunk clamp)."""
+    from pygmu2_tpu.soundfont import offline as off
+
+    font = _font()
+    events = [(0.0, 0x90, 60, 100), (0.1, 0x90, 64, 90)]
+    midi = MidiFile(build_midi(events))
+    s1 = Synthesizer(
+        SoundFont(font), SynthesizerSettings(block_size=640)
+    )
+    off.FORCE_PALLAS_INTERPRET = True
+    try:
+        fused = render_midi_offline(s1, midi, 0.5)
+    finally:
+        off.FORCE_PALLAS_INTERPRET = False
+    s2 = Synthesizer(
+        SoundFont(font), SynthesizerSettings(block_size=640)
+    )
+    scanned = s2.render_midi_schedule(midi, 0.5)
+    assert np.abs(scanned).max() > 1e-3
+    np.testing.assert_allclose(fused, scanned, atol=2e-5)
+
+
+def test_fused_path_block_640_window_kernel():
+    """Same odd-block gate through the windowed-DMA (large-font) kernel."""
+    from pygmu2_tpu.soundfont import offline as off
+    from tests.test_soundfont_large_font import large_font_bytes, demo_events
+
+    font = large_font_bytes()
+    midi = MidiFile(build_midi(demo_events()))
+    s1 = Synthesizer(
+        SoundFont(font),
+        SynthesizerSettings(block_size=640, maximum_polyphony=128),
+    )
+    off.FORCE_PALLAS_INTERPRET = True
+    try:
+        windowed = render_midi_offline(s1, midi, 0.5)
+    finally:
+        off.FORCE_PALLAS_INTERPRET = False
+    s2 = Synthesizer(
+        SoundFont(font),
+        SynthesizerSettings(block_size=640, maximum_polyphony=128),
+    )
+    hostctl = off.render_midi_offline_hostctl(s2, midi, 0.5)
+    assert np.abs(hostctl).max() > 1e-3
+    np.testing.assert_allclose(windowed, hostctl, atol=2e-5)
