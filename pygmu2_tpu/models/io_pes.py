@@ -172,6 +172,11 @@ class AudioReaderPE(_DecodedSource):
         self._buffer = np.ascontiguousarray(data, dtype=np.float32)
 
     def __repr__(self) -> str:
+        if self._max_level_db is not None:
+            return (
+                f"AudioReaderPE(path='{self._path}', "
+                f"max_level_db={self._max_level_db})"
+            )
         return f"AudioReaderPE(path='{self._path}')"
 
 
