@@ -57,6 +57,15 @@ class AudioRenderer(Renderer):
         self._stream_position = 0
         self._stream_done = threading.Event()
 
+    @property
+    def device(self):
+        """Output device index/name (None = system default)."""
+        return self._device
+
+    @property
+    def blocksize(self) -> int:
+        return self._blocksize
+
     # ---- blocking playback ----------------------------------------------
 
     def _output(self, snippet: Snippet) -> None:
@@ -109,8 +118,9 @@ class AudioRenderer(Renderer):
 
     # ---- callback streaming ---------------------------------------------
 
-    def stream_start(self, start: int = 0) -> None:
-        """Start callback-driven playback from ``start``.
+    def stream_start(self, start: int = 0, end: int | None = None) -> None:
+        """Start callback-driven playback of ``[start, end)`` (``end=None``
+        plays to the source extent's end).
 
         The PortAudio callback thread pulls pre-rendered blocks; a feeder
         thread keeps the device ahead of the DAC.
@@ -120,6 +130,10 @@ class AudioRenderer(Renderer):
             handle_error("No source set. Call set_source() first.", fatal=True)
         if not self._started:
             handle_error("Not started. Call start() first.", fatal=True)
+        if self.is_streaming:
+            handle_error(
+                "Already streaming. Call stream_stop() first.", fatal=True
+            )
 
         import queue
 
@@ -128,12 +142,13 @@ class AudioRenderer(Renderer):
         channels = self.channel_count or 1
         q: "queue.Queue[np.ndarray | None]" = queue.Queue(maxsize=4)
         extent = self._source.extent()
+        stop_at = end if end is not None else extent.end
         stop_flag = threading.Event()
 
         def feeder():
             pos = start
             while not stop_flag.is_set():
-                if extent.end is not None and pos >= extent.end:
+                if stop_at is not None and pos >= stop_at:
                     q.put(None)
                     return
                 snippet = self._source.render(pos, self._blocksize)
@@ -189,6 +204,14 @@ class AudioRenderer(Renderer):
         """Current playback position in samples."""
         return self._stream_position
 
+    @property
+    def is_streaming(self) -> bool:
+        """True while callback streaming is active and unfinished."""
+        return (
+            getattr(self, "_cb_stream", None) is not None
+            and not self._stream_done.is_set()
+        )
+
     # ---- device info -----------------------------------------------------
 
     @staticmethod
@@ -196,6 +219,26 @@ class AudioRenderer(Renderer):
         """Enumerate audio output devices."""
         sd = _require_sd()
         return sd.query_devices()
+
+    @staticmethod
+    def get_default_device():
+        """Info dict for the system default output device."""
+        sd = _require_sd()
+        devices = sd.query_devices()
+        default = getattr(sd, "default", None)
+        idx = None
+        if default is not None:
+            dev = getattr(default, "device", None)
+            if isinstance(dev, (tuple, list)) and len(dev) == 2:
+                idx = dev[1]  # (input, output)
+            elif isinstance(dev, int):
+                idx = dev
+        if idx is None or idx < 0:
+            for i, d in enumerate(devices):
+                if d.get("max_output_channels", 0) > 0:
+                    idx = i
+                    break
+        return devices[idx] if idx is not None else None
 
     def __repr__(self) -> str:
         return (

@@ -11,6 +11,7 @@ fully parallel whole-timeline path for offline MIDI rendering.
 from pygmu2_tpu.soundfont.model import (
     Generator,
     GeneratorType,
+    MeltysynthError,
     Instrument,
     InstrumentRegion,
     LoopMode,
@@ -31,6 +32,7 @@ __all__ = [
     "Instrument",
     "InstrumentRegion",
     "LoopMode",
+    "MeltysynthError",
     "MidiFile",
     "MidiFileSequencer",
     "Preset",

@@ -116,6 +116,8 @@ class SynthesizerSettings:
     enable_reverb_and_chorus: bool = True
 
     def __post_init__(self):
+        if not (16000 <= self.sample_rate <= 192000):
+            raise MeltysynthError("sample_rate must be in [16000, 192000]")
         if not (8 <= self.block_size <= 1024):
             raise MeltysynthError("block_size must be in [8, 1024]")
         if not (8 <= self.maximum_polyphony <= 256):

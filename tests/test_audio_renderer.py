@@ -138,3 +138,212 @@ def test_callback_streaming_to_end(fake_sd):
 
 def test_list_devices(fake_sd):
     assert pg.AudioRenderer.list_devices()[0]["name"] == "fake"
+
+
+# ---- reference-breadth coverage (reference: tests/test_audio_renderer.py
+# :25-330 behaviors, driven through the fake PortAudio backend) ----------
+
+
+class TestAudioRendererBasics:
+    def test_create_default(self):
+        r = pg.AudioRenderer()
+        assert r.sample_rate == 44100
+        assert r.blocksize == 1024
+        assert r.device is None
+
+    def test_create_custom_sample_rate(self):
+        assert pg.AudioRenderer(sample_rate=48000).sample_rate == 48000
+
+    def test_create_custom_device(self):
+        assert pg.AudioRenderer(device=3).device == 3
+
+    def test_create_custom_blocksize(self):
+        assert pg.AudioRenderer(blocksize=256).blocksize == 256
+
+    def test_repr(self):
+        r = repr(pg.AudioRenderer(sample_rate=22050, blocksize=512))
+        assert "AudioRenderer" in r and "22050" in r and "512" in r
+
+    def test_is_renderer_subclass(self):
+        from pygmu2_tpu.core.renderer import Renderer
+
+        assert issubclass(pg.AudioRenderer, Renderer)
+
+    def test_missing_sounddevice_raises(self, monkeypatch):
+        monkeypatch.setattr(ar_mod, "_sd", None)
+        r = pg.AudioRenderer()
+        r.set_source(_graph())
+        r.start()
+        with pytest.raises(RuntimeError, match="sounddevice"):
+            r.play_range(0, 64)
+
+
+class TestAudioRendererLifecycle:
+    def test_set_source(self, fake_sd):
+        r = pg.AudioRenderer()
+        src = _graph()
+        r.set_source(src)
+        assert r.source is src
+        assert r.channel_count == 1
+
+    def test_start_stop_flags(self, fake_sd):
+        r = pg.AudioRenderer()
+        r.set_source(_graph())
+        r.start()
+        assert r.started
+        r.stop()
+        assert not r.started
+
+    def test_context_manager(self, fake_sd):
+        r = pg.AudioRenderer()
+        r.set_source(_graph())
+        with r:
+            r.start()
+        assert not r.started
+
+    def test_stop_without_start(self, fake_sd):
+        pg.AudioRenderer().stop()  # no raise
+
+
+class TestAudioRendererPlayback:
+    def test_play_extent_finite(self, fake_sd):
+        r = pg.AudioRenderer(blocksize=256)
+        r.set_source(_graph(samples=1024))
+        r.start()
+        box = []
+        orig = r._output
+
+        def capture(snippet):
+            orig(snippet)
+            box.append(r._stream)
+
+        r._output = capture
+        r.play_extent(chunk_size=256)
+        r.stop()
+        assert sum(w.shape[0] for w in box[0].writes) == 1024
+
+    def test_play_extent_no_source_raises(self, fake_sd):
+        r = pg.AudioRenderer()
+        with pytest.raises(RuntimeError, match="No source"):
+            r.play_extent()
+
+    def test_play_range_closes_stream(self, fake_sd):
+        r = pg.AudioRenderer(blocksize=128)
+        r.set_source(_graph(512))
+        r.start()
+        r.play_range(0, 512)
+        assert r._stream is None  # closed + cleared after playback
+        r.stop()
+
+    def test_play_stereo_channels(self, fake_sd):
+        stereo = pg.ArrayPE(
+            np.column_stack(
+                [np.linspace(0, 1, 512), np.linspace(1, 0, 512)]
+            ).astype(np.float32)
+        )
+        r = pg.AudioRenderer(blocksize=128)
+        r.set_source(stereo)
+        r.start()
+        box = []
+        orig = r._output
+
+        def capture(snippet):
+            orig(snippet)
+            box.append(r._stream)
+
+        r._output = capture
+        r.play_range(0, 512, chunk_size=512)
+        r.stop()
+        stream = box[0]
+        assert stream.channels == 2
+        out = np.concatenate(stream.writes)
+        assert out.shape == (512, 2)
+        np.testing.assert_allclose(out[0], [0.0, 1.0], atol=1e-6)
+
+    def test_play_with_gain(self, fake_sd):
+        r = pg.AudioRenderer(blocksize=128)
+        r.set_source(pg.GainPE(pg.CropPE(pg.ConstantPE(1.0), 0, 256), 0.25))
+        r.start()
+        box = []
+        orig = r._output
+
+        def capture(snippet):
+            orig(snippet)
+            box.append(r._stream)
+
+        r._output = capture
+        r.play_range(0, 256, chunk_size=256)
+        r.stop()
+        np.testing.assert_allclose(np.concatenate(box[0].writes), 0.25, atol=1e-6)
+
+
+class TestAudioRendererStreaming:
+    def test_stream_start_not_started_raises(self, fake_sd):
+        r = pg.AudioRenderer()
+        r.set_source(_graph())
+        with pytest.raises(RuntimeError, match="Not started"):
+            r.stream_start()
+
+    def test_stream_start_no_source_raises(self, fake_sd):
+        r = pg.AudioRenderer()
+        with pytest.raises(RuntimeError, match="No source"):
+            r.stream_start()
+
+    def test_stream_start_twice_raises(self, fake_sd):
+        r = pg.AudioRenderer(blocksize=256)
+        r.set_source(pg.SinePE(frequency=440.0))  # infinite: stays streaming
+        r.start()
+        r.stream_start(0, end=10_000_000)
+        try:
+            with pytest.raises(RuntimeError, match="Already streaming"):
+                r.stream_start(0)
+        finally:
+            r.stream_stop()
+            r.stop()
+
+    def test_is_streaming_false_initially(self, fake_sd):
+        assert pg.AudioRenderer().is_streaming is False
+
+    def test_is_streaming_true_then_false(self, fake_sd):
+        r = pg.AudioRenderer(blocksize=256)
+        r.set_source(_graph(1024))
+        r.start()
+        r.stream_start(0)
+        assert r.is_streaming is True
+        assert r.stream_wait(timeout=10.0)
+        r.stream_stop()
+        assert r.is_streaming is False
+        r.stop()
+
+    def test_stream_position_initial_zero(self, fake_sd):
+        assert pg.AudioRenderer().stream_position == 0
+
+    def test_stream_end_argument_bounds_playback(self, fake_sd):
+        # Infinite source + explicit end: the feeder stops at `end`.
+        r = pg.AudioRenderer(blocksize=256)
+        r.set_source(pg.SinePE(frequency=440.0))
+        r.start()
+        r.stream_start(0, end=1024)
+        assert r.stream_wait(timeout=10.0), "bounded stream did not finish"
+        r.stream_stop()
+        r.stop()
+
+    def test_stream_stop_without_start_is_noop(self, fake_sd):
+        pg.AudioRenderer().stream_stop()  # no raise
+
+
+class TestAudioRendererDevices:
+    def test_get_default_device_falls_back_to_first_output(self, fake_sd):
+        info = pg.AudioRenderer.get_default_device()
+        assert info["name"] == "fake"
+
+    def test_get_default_device_uses_sd_default(self, fake_sd, monkeypatch):
+        class _Default:
+            device = (0, 0)
+
+        monkeypatch.setattr(FakeSD, "default", _Default, raising=False)
+        try:
+            info = pg.AudioRenderer.get_default_device()
+            assert info["name"] == "fake"
+        finally:
+            monkeypatch.delattr(FakeSD, "default", raising=False)
