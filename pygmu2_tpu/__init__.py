@@ -58,6 +58,7 @@ from pygmu2_tpu.models.modes import (
     LadderMode,
     NoiseMode,
     OutOfBoundsMode,
+    RandomMode,
     SequenceMode,
     SlewMode,
     TransitionType,
@@ -79,6 +80,7 @@ from pygmu2_tpu.models.holds import (
 )
 from pygmu2_tpu.models.loop_slice import LoopPE, SequencePE, SlicePE
 from pygmu2_tpu.models.noise import NoisePE
+from pygmu2_tpu.models.random_control import RandomPE
 from pygmu2_tpu.models.lookup import TimeWarpPE, WavetablePE, WindowPE
 from pygmu2_tpu.models.osc_bandlimited import AnalogOscPE, BlitSawPE, SuperSawPE
 from pygmu2_tpu.models.oscillators import FunctionGenPE, SinePE
@@ -221,6 +223,7 @@ __all__ = [
     "WavetablePE",
     "WindowPE",
     "NoisePE",
+    "RandomPE",
     "PiecewisePE",
     "SequencePE",
     "SlicePE",
@@ -236,6 +239,7 @@ __all__ = [
     "InterpolationMode",
     "LadderMode",
     "NoiseMode",
+    "RandomMode",
     "OutOfBoundsMode",
     "SequenceMode",
     "SlewMode",

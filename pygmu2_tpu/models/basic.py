@@ -247,9 +247,15 @@ class TransformPE(ProcessingElement):
     ``func`` must be traceable (jnp operations) and shape-preserving.
     """
 
-    def __init__(self, source: ProcessingElement, func: Callable):
+    def __init__(
+        self,
+        source: ProcessingElement,
+        func: Callable,
+        name: str | None = None,
+    ):
         self._source = source
         self._func = func
+        self._name = name or getattr(func, "__name__", "transform")
 
     @property
     def source(self) -> ProcessingElement:
@@ -258,6 +264,10 @@ class TransformPE(ProcessingElement):
     @property
     def func(self) -> Callable:
         return self._func
+
+    @property
+    def name(self) -> str:
+        return self._name
 
     def inputs(self) -> list[ProcessingElement]:
         return [self._source]
@@ -281,5 +291,7 @@ class TransformPE(ProcessingElement):
         return y.astype(prec.AUDIO)
 
     def __repr__(self) -> str:
-        name = getattr(self._func, "__name__", "<fn>")
-        return f"TransformPE(source={type(self._source).__name__}, func={name})"
+        return (
+            f"TransformPE(source={type(self._source).__name__}, "
+            f"func={self._name})"
+        )

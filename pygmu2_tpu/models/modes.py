@@ -86,3 +86,12 @@ class TransitionType(enum.Enum):
     EXPONENTIAL = "exponential"
     SIGMOID = "sigmoid"
     CONSTANT_POWER = "constant_power"
+
+
+class RandomMode(enum.Enum):
+    """RandomPE output shaping (see models/random_control.py)."""
+
+    SAMPLE_HOLD = "sample_hold"
+    LINEAR = "linear"
+    SMOOTH = "smooth"
+    WALK = "walk"

@@ -455,6 +455,27 @@ class TestTriggerRestartPEContract(StatefulMixin):
         )
 
 
+class TestRandomPEContract(RenderMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = True, 1, 0, "infinite"
+
+    def make(self):
+        return pg.RandomPE(rate=100.0, seed=2)
+
+
+class TestRandomPEWalkContract(StatefulMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 0, "infinite"
+
+    def make(self):
+        return pg.RandomPE(rate=300.0, mode=pg.RandomMode.WALK, seed=2)
+
+
+class TestRandomPETriggeredContract(StatefulMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 1, "infinite"
+
+    def make(self):
+        return pg.RandomPE(trigger=pg.PeriodicTrigger(hz=441.0), seed=2)
+
+
 class TestRandomSelectPEContract(StatefulMixin):
     PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 3, "infinite"
 
