@@ -335,6 +335,16 @@ def _make_osc_kernel(N: int, chunk: int, n_chunks: int, n_rows: int,
 # dense in VMEM and the window buffer + transposed control rows add ~4 MB.
 WINDOW_KERNEL_MAX_T = 1 << 18
 
+# Time-chunk of the windowed-DMA kernel's inner fori_loop. Values above
+# 128 do NOT currently compile: the slab gather's operand/indices/out
+# must all be (P, 128) (Mosaic lane-gather same-shape rule — lowering
+# asserts indices.shape == operand.shape + (1,)), so a larger time
+# chunk would need an inner 128-wide sub-chunk loop restructure. The
+# env knob exists for future experiments.
+import os as _os
+
+WINDOW_KERNEL_CHUNK = int(_os.environ.get("PYGMU2_WINDOW_CHUNK", "128"))
+
 _WIN_F32_T = ("ratio", "base_frac")  # (B, P) f32
 _WIN_I32_T = ("base_int", "loop_start", "loop_len", "smp_end", "loopi")
 
@@ -571,7 +581,7 @@ def _window_row_bounds(rows, W: int, cpb: int, CS: int):
     jax.jit, static_argnames=("N", "W", "align", "chunk", "interpret")
 )
 def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
-                                      align: int = 128, chunk: int = 128,
+                                      align: int = 128, chunk: int | None = None,
                                       interpret: bool = False, state=None):
     """Windowed-DMA fused audio pass for arbitrary-size wavetables.
 
@@ -585,6 +595,8 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
     """
     B, P = rows["ratio"].shape
     T = B * N
+    if chunk is None:
+        chunk = WINDOW_KERNEL_CHUNK
     chunk = math.gcd(N, min(chunk, N))
     assert chunk % 128 == 0 and W % 128 == 0 and T <= WINDOW_KERNEL_MAX_T
     L_ext = wave_ext.shape[0]
