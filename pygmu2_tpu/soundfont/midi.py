@@ -292,8 +292,50 @@ class MidiFileSequencer:
         """Offline fast path: host-side control pass + ONE parallel device
         launch for the whole span (see soundfont.offline).
 
-        Returns (samples, 2) float32.
+        Returns (samples, 2) float32. With no score playing (before
+        ``play`` / after ``stop``) returns silence, matching the
+        streaming path. ``play(..., loop=True)`` is honored by tiling
+        the event list every score length with an all-notes-off (CC 123
+        on every channel) at each rewind — the same effect as the
+        streaming path's ``note_off_all(False)`` on rewind.
         """
         from pygmu2_tpu.soundfont.offline import render_midi_offline
 
-        return render_midi_offline(self._synthesizer, self._midi_file, seconds)
+        if self._midi_file is None:
+            total = int(round(seconds * self._synthesizer.sample_rate))
+            return np.zeros((total, 2), np.float32)
+        midi = self._midi_file
+        if self._loop and midi.length > 0 and seconds > midi.length:
+            midi = _tiled_midi(midi, seconds)
+        return render_midi_offline(self._synthesizer, midi, seconds)
+
+
+class _TiledMidi:
+    """Looped view of a MidiFile: events repeated every score length."""
+
+    __slots__ = ("messages", "times", "length")
+
+    def __init__(self, messages, times, length):
+        self.messages = messages
+        self.times = times
+        self.length = length
+
+
+def _tiled_midi(midi: MidiFile, seconds: float) -> _TiledMidi:
+    period = float(midi.length)
+    reps = int(np.ceil(seconds / period))
+    msgs: list[MidiMessage] = []
+    times: list[float] = []
+    for k in range(reps):
+        t0 = k * period
+        if k > 0:
+            # rewind boundary: release everything still sounding
+            for ch in range(16):
+                msgs.append(MidiMessage(ch, 0xB0, 0x7B, 0))
+                times.append(t0)
+        for t, m in zip(midi.times, midi.messages):
+            if m.type != MidiMessageType.NORMAL:
+                continue
+            msgs.append(m)
+            times.append(t0 + float(t))
+    return _TiledMidi(msgs, times, reps * period)
