@@ -218,3 +218,30 @@ class TestKemarSelection:
 
     def test_accepts_static_int(self):
         assert SpatialHRTF(45, elevation=10).azimuth == 45.0
+
+    def test_ir_rate_mismatch_strict_raises(self):
+        import pygmu2_tpu as pg
+
+        pg.set_sample_rate(48000)  # KEMAR IRs are 44100
+        try:
+            pe = SpatialPE(ConstantPE(1.0), method=SpatialHRTF(0.0))
+            with pytest.raises(RuntimeError, match="KEMAR IR rate"):
+                pe.render(0, 64)
+        finally:
+            pg.set_sample_rate(44100)
+
+    def test_ir_rate_mismatch_lenient_warns_once(self, caplog):
+        import pygmu2_tpu as pg
+        from pygmu2_tpu.core.config import ErrorMode, set_error_mode
+
+        pg.set_sample_rate(48000)
+        set_error_mode(ErrorMode.LENIENT)
+        try:
+            pe = SpatialPE(ConstantPE(1.0), method=SpatialHRTF(0.0))
+            with caplog.at_level("WARNING"):
+                d = np.asarray(pe.render(0, 64).data)  # continues
+            assert np.isfinite(d).all()
+            assert "KEMAR IR rate" in caplog.text
+        finally:
+            set_error_mode(ErrorMode.STRICT)
+            pg.set_sample_rate(44100)
