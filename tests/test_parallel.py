@@ -104,6 +104,27 @@ class TestTimeShardedStateful:
         )
         assert np.isfinite(out).all()
 
+    def test_halo_rejects_random_walk_accepts_clocked(self):
+        # RandomPE WALK carries a non-converging walk value; the clocked
+        # modes are pure functions of absolute time.
+        mesh = default_mesh(8, axis="t")
+        walk = pg.GainPE(
+            pg.SinePE(frequency=440.0),
+            pg.RandomPE(rate=100.0, mode=pg.RandomMode.WALK, seed=1),
+        )
+        with pytest.raises(ValueError, match="RandomPE"):
+            render_time_sharded_stateful(
+                walk, 0, 8 * 2048, mesh, block=1024, halo=4096
+            )
+        clocked = pg.GainPE(
+            pg.SinePE(frequency=440.0),
+            pg.RandomPE(rate=100.0, mode=pg.RandomMode.SMOOTH, seed=1),
+        )
+        out = render_time_sharded_stateful(
+            clocked, 0, 8 * 2048, mesh, block=1024, halo=4096
+        )
+        assert np.isfinite(out).all()
+
     def test_exact_relay_unaffected_by_gate(self):
         # halo=0 (exact mode) must keep accepting non-decaying state
         mesh = default_mesh(8, axis="t")
