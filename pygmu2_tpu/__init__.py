@@ -104,7 +104,12 @@ from pygmu2_tpu.models.spatial import (
     SpatialPE,
 )
 from pygmu2_tpu.models.tralfam import TralfamPE
-from pygmu2_tpu.models.trigger_restart import RandomSelectPE, TriggerRestartPE
+from pygmu2_tpu.models.trigger_restart import (
+    RandomSelectPE,
+    TriggerMode,
+    TriggerPE,
+    TriggerRestartPE,
+)
 from pygmu2_tpu.models.window import CropPE, SetExtentPE
 from pygmu2_tpu.utils.assets import (
     AssetLoader,
@@ -210,6 +215,8 @@ __all__ = [
     "MidiInPE",
     "MixPE",
     "RandomSelectPE",
+    "TriggerMode",
+    "TriggerPE",
     "ReversePitchEchoPE",
     "SpatialPE",
     "SpatialMethod",

@@ -20,6 +20,8 @@ of the reference's unbounded replay.
 
 from __future__ import annotations
 
+import enum
+
 import numpy as np
 
 import jax
@@ -181,4 +183,114 @@ class RandomSelectPE(ProcessingElement):
         return (
             f"RandomSelectPE(trigger={type(self._trigger).__name__}, "
             f"n_inputs={len(self._sources)})"
+        )
+
+
+class TriggerMode(enum.Enum):
+    """TriggerPE playback policy (see :class:`TriggerPE`)."""
+
+    ONE_SHOT = "one_shot"
+    GATED = "gated"
+
+
+class TriggerPE(ProcessingElement):
+    """Gate-edge-driven clip player: a rising edge of ``gate`` starts the
+    finite ``source`` from its local t=0.
+
+    Modes:
+        ONE_SHOT — once started, the clip plays to its end regardless of
+            the gate; rising edges DURING playback are ignored (classic
+            drum-pad semantics). A new edge after the clip ends restarts.
+        GATED — output follows the gate: a rising edge (re)starts the
+            clip, and the output CUTS to silence whenever the gate is
+            low (classic gate-to-sample semantics).
+
+    The reference ships this PE only as a disabled draft (its
+    tests/test_trigger_pe.py importorskips ``pygmu2.trigger_pe``); this
+    is the live TPU-native equivalent. Edge detection carries the
+    previous gate sample across blocks, so chunked rendering is exact at
+    any block size. ONE_SHOT's accept-only-when-idle rule is a genuine
+    per-sample recurrence and runs as an unrolled ``lax.scan``; GATED is
+    fully parallel (cummax latch, like TriggerRestartPE).
+    """
+
+    def __init__(self, gate, source: ProcessingElement,
+                 mode: TriggerMode = TriggerMode.ONE_SHOT):
+        self._gate = gate
+        self._source = source
+        self._mode = mode
+
+    @property
+    def gate(self):
+        return self._gate
+
+    @property
+    def source(self) -> ProcessingElement:
+        return self._source
+
+    @property
+    def mode(self) -> TriggerMode:
+        return self._mode
+
+    def inputs(self) -> list[ProcessingElement]:
+        return [self._gate, self._source]
+
+    def is_pure(self) -> bool:
+        return False
+
+    def state_decays(self) -> bool:
+        return False  # the latched start time never converges on its own
+
+    def channel_count(self) -> int | None:
+        return self._source.channel_count()
+
+    def resolve_channel_count(self, input_channel_counts: list[int]) -> int:
+        if len(input_channel_counts) != 2:
+            raise ValueError("TriggerPE expects exactly two inputs")
+        return input_channel_counts[1]
+
+    def _compute_extent(self) -> Extent:
+        return self._gate.extent()
+
+    def _trace(self, ctx):
+        gate = ctx.pull(self._gate)[:, 0]
+        t = ctx.times()
+        src_start, src_len = _finite_len(self._source, "TriggerPE")
+        clip = ctx.pull_abs(self._source, src_start, src_len)  # (L, C)
+
+        init = (
+            jnp.asarray(0.0, prec.AUDIO),        # previous gate sample
+            jnp.asarray(_NO_EVENT, prec.INDEX),  # latched start time
+        )
+        (prev_g, t0_carry), _ = ctx.state(self, init=init)
+        prev = jnp.concatenate([prev_g[None], gate[:-1]])
+        edge = (gate > 0) & (prev <= 0)
+
+        if self._mode == TriggerMode.GATED:
+            # parallel latch: every rising edge restarts
+            events = jnp.where(edge, t, _NO_EVENT)
+            t0 = jax.lax.cummax(jnp.maximum(events, t0_carry))
+        else:
+            # ONE_SHOT: accept an edge only when idle (previous clip done)
+            def step(t0c, x):
+                ti, ei = x
+                accept = ei & ((t0c == _NO_EVENT) | (ti - t0c >= src_len))
+                nxt = jnp.where(accept, ti, t0c)
+                return nxt, nxt
+
+            _, t0 = jax.lax.scan(step, t0_carry, (t, edge), unroll=32)
+
+        ctx.set_state(self, (gate[-1], t0[-1]))
+
+        local = t - t0
+        valid = (t0 != _NO_EVENT) & (local >= 0) & (local < src_len)
+        if self._mode == TriggerMode.GATED:
+            valid = valid & (gate > 0)
+        pos = jnp.clip(local, 0, src_len - 1).astype(jnp.int32)
+        return jnp.where(valid[:, None], clip[pos], 0.0)
+
+    def __repr__(self) -> str:
+        return (
+            f"TriggerPE(gate={type(self._gate).__name__}, "
+            f"source={type(self._source).__name__}, mode={self._mode.value})"
         )

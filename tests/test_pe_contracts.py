@@ -476,6 +476,24 @@ class TestRandomPETriggeredContract(StatefulMixin):
         return pg.RandomPE(trigger=pg.PeriodicTrigger(hz=441.0), seed=2)
 
 
+class TestTriggerPEContract(StatefulMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 2, "infinite"
+
+    def make(self):
+        return pg.TriggerPE(
+            pg.PeriodicTrigger(hz=100.0), arr(300), mode=pg.TriggerMode.ONE_SHOT
+        )
+
+
+class TestTriggerPEGatedContract(StatefulMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 2, "infinite"
+
+    def make(self):
+        return pg.TriggerPE(
+            pg.PeriodicGate(frequency=50.0), arr(300), mode=pg.TriggerMode.GATED
+        )
+
+
 class TestRandomSelectPEContract(StatefulMixin):
     PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 3, "infinite"
 
