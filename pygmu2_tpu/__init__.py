@@ -106,6 +106,7 @@ from pygmu2_tpu.models.spatial import (
 from pygmu2_tpu.models.tralfam import TralfamPE
 from pygmu2_tpu.models.trigger_restart import (
     RandomSelectPE,
+    ResetPE,
     TriggerMode,
     TriggerPE,
     TriggerRestartPE,
@@ -215,6 +216,7 @@ __all__ = [
     "MidiInPE",
     "MixPE",
     "RandomSelectPE",
+    "ResetPE",
     "TriggerMode",
     "TriggerPE",
     "ReversePitchEchoPE",

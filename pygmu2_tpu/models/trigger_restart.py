@@ -294,3 +294,82 @@ class TriggerPE(ProcessingElement):
             f"TriggerPE(gate={type(self._gate).__name__}, "
             f"source={type(self._source).__name__}, mode={self._mode.value})"
         )
+
+
+class ResetPE(ProcessingElement):
+    """Re-anchor the source's local time to 0 on each rising edge of
+    ``trigger``; before the first edge the source passes through at
+    absolute time.
+
+    The reference ships this PE only as a disabled draft (its
+    tests/test_reset_pe.py importorskips ``pygmu2.reset_pe``); this is
+    the live TPU-native equivalent. Differences from TriggerPE: no
+    playback gate (output never cuts on trigger-low), retriggers are
+    always honored (every rising edge re-anchors), and the un-reset
+    passthrough anchors at t=0. The source must have finite extent
+    (wrap infinite sources in CropPE) — the static-shape analog of the
+    reference draft's unbounded replay.
+    """
+
+    def __init__(self, source: ProcessingElement, trigger):
+        self._source = source
+        self._trigger = trigger
+
+    @property
+    def source(self) -> ProcessingElement:
+        return self._source
+
+    @property
+    def trigger(self):
+        return self._trigger
+
+    def inputs(self) -> list[ProcessingElement]:
+        return [self._source, self._trigger]
+
+    def is_pure(self) -> bool:
+        return False
+
+    def state_decays(self) -> bool:
+        return False  # the latched reset time never converges on its own
+
+    def channel_count(self) -> int | None:
+        return self._source.channel_count()
+
+    def resolve_channel_count(self, input_channel_counts: list[int]) -> int:
+        if len(input_channel_counts) != 2:
+            raise ValueError("ResetPE expects exactly two inputs")
+        return input_channel_counts[0]
+
+    def _compute_extent(self) -> Extent:
+        return self._trigger.extent()
+
+    def _trace(self, ctx):
+        trig = ctx.pull(self._trigger)[:, 0]
+        t = ctx.times()
+        src_start, src_len = _finite_len(self._source, "ResetPE")
+        clip = ctx.pull_abs(self._source, src_start, src_len)  # (L, C)
+
+        init = (
+            jnp.asarray(0.0, prec.AUDIO),   # previous trigger sample
+            jnp.asarray(0, prec.INDEX),     # latched reset time (0 = none)
+        )
+        (prev_g, t0_carry), _ = ctx.state(self, init=init)
+        prev = jnp.concatenate([prev_g[None], trig[:-1]])
+        edge = (trig > 0) & (prev <= 0)
+        events = jnp.where(edge, t, jnp.asarray(_NO_EVENT, prec.INDEX))
+        t0 = jax.lax.cummax(jnp.maximum(events, t0_carry))
+        ctx.set_state(self, (trig[-1], t0[-1]))
+
+        # the source is evaluated at absolute time (t - t0): passthrough
+        # before any reset (t0 = 0), re-anchored to its own time origin
+        # after each edge — including the source extent's own offset
+        local = t - t0 - src_start
+        valid = (local >= 0) & (local < src_len)
+        pos = jnp.clip(local, 0, src_len - 1).astype(jnp.int32)
+        return jnp.where(valid[:, None], clip[pos], 0.0)
+
+    def __repr__(self) -> str:
+        return (
+            f"ResetPE(source={type(self._source).__name__}, "
+            f"trigger={type(self._trigger).__name__})"
+        )

@@ -476,6 +476,13 @@ class TestRandomPETriggeredContract(StatefulMixin):
         return pg.RandomPE(trigger=pg.PeriodicTrigger(hz=441.0), seed=2)
 
 
+class TestResetPEContract(StatefulMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 2, "infinite"
+
+    def make(self):
+        return pg.ResetPE(arr(300), pg.PeriodicTrigger(hz=200.0))
+
+
 class TestTriggerPEContract(StatefulMixin):
     PURE, CHANNELS, N_INPUTS, EXTENT = False, 1, 2, "infinite"
 
