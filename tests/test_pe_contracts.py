@@ -813,3 +813,74 @@ class TestMidiInPEContract(BasicsMixin):
         assert np.abs(out).max() == 0.0  # MidiInPE emits silence
         assert [m for _s, m in got] == ["note_on_60", "note_off_60"]
         assert all(s == 0 for s, _m in got)  # block_start passed through
+
+
+class TestEveryExportedPEHasAContract:
+    """Self-enforcing coverage invariant: every ProcessingElement class
+    exported at the package top level must be instantiated by some
+    contract suite above (reference pattern: CONTRIBUTING.md:419-457 —
+    per-PE test classes for the whole inventory)."""
+
+    # Abstract/adapter surfaces that are contract-covered through their
+    # concrete subclasses or dedicated suites elsewhere.
+    EXEMPT = {
+        "ProcessingElement",   # abstract base
+        "SourcePE",            # abstract base
+        "GateSignal",          # abstract signal marker (PeriodicGate covers)
+        "TriggerSignal",       # abstract signal marker (PeriodicTrigger)
+        "SpatialMethod",       # strategy base (SpatialPE contract covers)
+        "SpatialAdapter",      # strategy, covered via SpatialPE suites
+        "SpatialLinear",       # strategy
+        "SpatialConstantPower",  # strategy
+        "SpatialHRTF",         # strategy
+    }
+
+    def test_all_pe_classes_covered(self):
+        import inspect
+        import sys
+
+        from pygmu2_tpu.core.processing_element import ProcessingElement
+
+        exported = {
+            name
+            for name in pg.__all__
+            if inspect.isclass(getattr(pg, name))
+            and issubclass(getattr(pg, name), ProcessingElement)
+        } - self.EXEMPT
+
+        mod = sys.modules[__name__]
+        covered: set[str] = set()
+        for cname in dir(mod):
+            cls = getattr(mod, cname)
+            if (
+                inspect.isclass(cls)
+                and cname.startswith("Test")
+                and hasattr(cls, "make")
+                and cls not in (BasicsMixin, RenderMixin, StatefulMixin)
+            ):
+                try:
+                    pe = cls().make()
+                except Exception:
+                    continue
+                for node in _walk_types(pe):
+                    covered.add(node)
+
+        missing = sorted(exported - covered)
+        assert not missing, (
+            f"exported PEs without a contract suite: {missing} — add a "
+            "Test<PE>Contract class with the appropriate mixin."
+        )
+
+
+def _walk_types(pe):
+    """Type names of a PE and its whole input graph."""
+    seen, out = set(), set()
+    stack = [pe]
+    while stack:
+        node = stack.pop()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        out.add(type(node).__name__)
+        stack.extend(node.inputs())
+    return out
