@@ -630,6 +630,25 @@ def _osc_rows(ctrl, wave):
     )
 
 
+def _gain_rows(ctrl, master):
+    """Filter-coefficient + gain-ramp control rows for the fused kernels
+    ((B, P) planes; dead voices contribute exactly zero gain)."""
+    alive = ctrl["alive"]
+    m = jnp.float32(master)
+    return {
+        "b0": ctrl["b0"],
+        "b1": ctrl["b1"],
+        "b2": ctrl["b2"],
+        "a1": ctrl["a1"],
+        "a2": ctrl["a2"],
+        "freshf": ctrl["fresh"].astype(jnp.float32),
+        "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
+        "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
+        "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
+        "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
+    }
+
+
 def _audio_pass(ctrl, wave, N: int, master: float, wave_ext=None,
                 win_w: int | None = None, interpret: bool = False):
     """One parallel program over the whole timeline.
@@ -653,26 +672,13 @@ def _audio_pass(ctrl, wave, N: int, master: float, wave_ext=None,
     T = B * N
     W = wave.shape[0]
 
-    m = jnp.float32(master)
-    alive = ctrl["alive"]
     interp = bool(interpret)
     if (
         (jax.default_backend() == "tpu" or interp)
         and P % 128 == 0
         and N % 128 == 0
     ):
-        gains = {
-            "b0": ctrl["b0"],
-            "b1": ctrl["b1"],
-            "b2": ctrl["b2"],
-            "a1": ctrl["a1"],
-            "a2": ctrl["a2"],
-            "freshf": ctrl["fresh"].astype(jnp.float32),
-            "pgl": m * jnp.where(alive, ctrl["pgl"], 0.0),
-            "gl": m * jnp.where(alive, ctrl["gl"], 0.0),
-            "pgr": m * jnp.where(alive, ctrl["pgr"], 0.0),
-            "gr": m * jnp.where(alive, ctrl["gr"], 0.0),
-        }
+        gains = _gain_rows(ctrl, master)
         from pygmu2_tpu.soundfont.filter_pallas import (
             OSC_KERNEL_MAX_WAVE,
             osc_filter_gain_mix_pallas,
@@ -943,8 +949,9 @@ def _window_args(synth, par_np, ch_np):
 
 
 def render_midi_offline(synth, midi_file, seconds: float,
-                        wire: str = "f32") -> np.ndarray:
-    """Schedule on host, control + audio fused in ONE device launch.
+                        wire: str = "f32",
+                        pipeline: int | None = None) -> np.ndarray:
+    """Schedule on host, control + audio fused on device.
 
     Only the deduplicated event schedule crosses the link (tens of KB
     for minutes of MIDI); the per-(block, voice) control grid that the
@@ -953,6 +960,12 @@ def render_midi_offline(synth, midi_file, seconds: float,
     wire: "f32" (default) returns float32; "int16" converts to DAC-ready
     PCM on device and ships half the bytes (the render itself stays
     float32 — see _to_wire).
+
+    pipeline: number of host-level segments to overlap download with
+    compute (see :func:`_render_pipelined`). ``None`` (default) picks
+    ``PIPELINE_SEGMENTS`` when the schedule rides a fused Pallas kernel
+    path and the render is long enough to split; ``0``/``1`` forces the
+    monolithic single dispatch. Output is bit-identical either way.
 
     The whole schedule crosses the link as ONE flat buffer
     (:func:`_pack_flat`) — per-plane uploads each pay a synchronous
@@ -963,6 +976,21 @@ def render_midi_offline(synth, midi_file, seconds: float,
     wave_ext, win_w = _window_args(synth, par_np, ch_np)
     S, P = pf32.shape[1], pf32.shape[2]
     flat = _pack_flat(pf32, pi32, pf64, cf32, chold, snap_idx)
+    total = int(round(seconds * synth.sample_rate))
+    if pipeline is None:
+        pipeline = (
+            PIPELINE_SEGMENTS
+            if int(n_blocks) >= 2 * PIPELINE_SEGMENTS
+            and _pipeline_kernel_ok(synth, win_w)
+            else 0
+        )
+    if pipeline and pipeline > 1 and _pipeline_kernel_ok(synth, win_w):
+        out_np = _render_pipelined(
+            synth, flat, flags, S, P, n_blocks, wave_ext, win_w, wire,
+            pipeline,
+        )
+        synth.reset()
+        return out_np[:total]
     # Pass the HOST array straight into the jit call: an explicit
     # jnp.asarray here is a SYNCHRONOUS upload — one full link
     # round-trip (~29 ms through a bad tunnel) — while a host argument's
@@ -984,7 +1012,6 @@ def render_midi_offline(synth, midi_file, seconds: float,
         bool(FORCE_PALLAS_INTERPRET),
         wire,
     )
-    total = int(round(seconds * synth.sample_rate))
     synth.reset()
     return np.asarray(out)[:total]
 
@@ -1415,3 +1442,129 @@ def _to_wire(out, wire: str):
 _render_fused_jit = jax.jit(
     _render_fused, static_argnums=(7, 9, 10, 11, 13, 14, 15)
 )
+
+
+# ---- pipelined offline render (download/compute overlap) ----------------
+#
+# The monolithic fused render is ONE dispatch: nothing overlaps the D2H
+# transfer with compute, so on link-attached hosts the wall time is
+# execute + download, serial. The pipelined variant splits the timeline
+# into K host-level segments (the kernels already thread their (4, P)
+# filter/FIR state between launches — same math, same launches, just
+# issued as separate dispatches) and starts each segment's D2H transfer
+# as soon as it is dispatched: segment k downloads while segment k+1
+# computes. Output is bit-identical to the monolithic path.
+#
+# Reference anchor: the monolithic workload corresponds to the reference
+# benchmark render (/root/reference/benchmarks/benchmark_meltysynth.py);
+# the reference has no device link, so this concern has no counterpart.
+
+PIPELINE_SEGMENTS = 4  # default K; ~2 RTTs of overhead vs hiding compute
+
+
+def _prep_rows_flat(flat, wave, N, master, flags, min_dur, sr, S, P, B,
+                    win_w, l_ext):
+    """Device control pass -> fused-kernel control rows ((B, P) planes).
+
+    win_w None => resident-kernel rows (:func:`_osc_rows`); else
+    windowed-DMA rows (:func:`window_osc_rows`) for the extended
+    wavetable of length ``l_ext``.
+    """
+    planes = _unpack_flat(flat, S, P, B)
+    ctrl = _control_device(*planes, N, flags, min_dur, sr)
+    gains = _gain_rows(ctrl, master)
+    if win_w is None:
+        return dict(gains, **_osc_rows(ctrl, wave))
+    return dict(gains, **window_osc_rows(ctrl, win_w, int(l_ext)))
+
+
+_prep_rows_flat_jit = jax.jit(
+    _prep_rows_flat, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
+
+
+def _render_rows_seg(rows, state, b0, wave, N, seg_blocks, win_w, wire,
+                     interpret):
+    """Render ``seg_blocks`` blocks starting at block ``b0`` (traced
+    scalar) from precomputed control rows, threading the fused kernel's
+    (4, P) carry in and out. Returns (wire-format audio, state)."""
+    from pygmu2_tpu.soundfont.filter_pallas import (
+        OSC_KERNEL_MAX_T,
+        WINDOW_KERNEL_MAX_T,
+        osc_filter_gain_mix_pallas,
+        osc_window_filter_gain_mix_pallas,
+    )
+
+    seg = {
+        k: jax.lax.dynamic_slice_in_dim(v, b0, seg_blocks, axis=0)
+        for k, v in rows.items()
+    }
+    max_t = OSC_KERNEL_MAX_T if win_w is None else WINDOW_KERNEL_MAX_T
+    bps = max(1, max_t // N)
+    outs = []
+    st = state
+    for s0 in range(0, seg_blocks, bps):
+        sub = {k: v[s0 : s0 + bps] for k, v in seg.items()}
+        if win_w is None:
+            out, st = osc_filter_gain_mix_pallas(
+                sub, wave, N, wave.shape[0], state=st, interpret=interpret
+            )
+        else:
+            out, st = osc_window_filter_gain_mix_pallas(
+                sub, wave, N, win_w, state=st, interpret=interpret
+            )
+        outs.append(out)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return _to_wire(out, wire), st
+
+
+_render_rows_seg_jit = jax.jit(
+    _render_rows_seg, static_argnums=(4, 5, 6, 7, 8)
+)
+
+
+def _pipeline_kernel_ok(synth, win_w) -> bool:
+    """True when the schedule will take one of the fused Pallas kernel
+    paths (the ones with threadable state) — mirrors _audio_pass's
+    branch conditions."""
+    from pygmu2_tpu.soundfont.filter_pallas import OSC_KERNEL_MAX_WAVE
+
+    if not (jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET):
+        return False
+    if synth.block_size % 128 != 0 or synth._maximum_polyphony % 128 != 0:
+        return False
+    if synth._wave.shape[0] <= OSC_KERNEL_MAX_WAVE:
+        return True
+    return win_w is not None
+
+
+def _render_pipelined(synth, flat, flags, S, P, n_blocks, wave_ext, win_w,
+                      wire, segments):
+    """K-segment dispatch loop with eager per-segment D2H."""
+    N = synth.block_size
+    if win_w is None:
+        wave = synth._wave
+        l_ext = 0
+    else:
+        wave = wave_ext
+        l_ext = int(wave_ext.shape[0])
+    interp = bool(FORCE_PALLAS_INTERPRET)
+    rows = _prep_rows_flat_jit(
+        flat, synth._wave, N, float(synth.master_volume), flags,
+        int(synth._minimum_voice_duration), float(synth.sample_rate),
+        S, P, int(n_blocks), win_w, l_ext,
+    )
+    K = max(1, min(int(segments), int(n_blocks)))
+    base, rem = divmod(int(n_blocks), K)
+    st = np.zeros((4, P), np.float32)
+    outs = []
+    b0 = 0
+    for k in range(K):
+        sb = base + (1 if k < rem else 0)
+        out, st = _render_rows_seg_jit(
+            rows, st, np.int32(b0), wave, N, sb, win_w, wire, interp
+        )
+        out.copy_to_host_async()
+        outs.append(out)
+        b0 += sb
+    return np.concatenate([np.asarray(o) for o in outs])
