@@ -143,10 +143,13 @@ def _measure_font(large_font: bool, seconds: float, n_chain: int = 50):
     wall_f32 = e2e("f32")
     wall_i16 = e2e("int16")
 
-    # Stage breakdown (informational): schedule (host) / execute (device)
-    # / download (link). Through the dev tunnel the link dominates; on a
-    # host-attached chip it is negligible. Execute uses the production
-    # single-upload flat dispatch (one H2D transfer for the schedule).
+    # Stage breakdown (informational): schedule (host) / link round-trip
+    # (tunnel floor — ~3 ms on a good day, tens of ms in bad weather) /
+    # download (link stream, measured on a FRESH device array each run —
+    # re-reading the same array hits jax's host-copy cache and reports
+    # 0 ms). The wall decomposes as schedule + one RTT + payload stream
+    # + ~3 ms device execute: the link, not the chip, is the e2e bound
+    # (OPTIMIZING.md rule 9).
     t0 = time.perf_counter()
     par_np, ch_np, snap_idx, _nb = synth.build_schedule(midi, seconds)
     packed_np = _off._pack_schedule_np(par_np, ch_np)
@@ -154,31 +157,39 @@ def _measure_font(large_font: bool, seconds: float, n_chain: int = 50):
     S, P = packed_np[0].shape[1], packed_np[0].shape[2]
     flat = _off._pack_flat(*packed_np[:5], snap_idx)
     t1 = time.perf_counter()
+    sched_ms = 1e3 * (t1 - t0)
+
+    @jax.jit
+    def _rtt_probe(x):
+        return x * 2.0
+
+    np.asarray(_rtt_probe(np.float32(1.0)))  # warm
+    rtt_runs = []
+    for _ in range(3):
+        tr = time.perf_counter()
+        np.asarray(_rtt_probe(np.float32(1.0)))
+        rtt_runs.append(time.perf_counter() - tr)
+    rtt_ms = 1e3 * min(rtt_runs)
 
     def _exec():
         # host flat arg, exactly like render_midi_offline (the transfer
         # piggybacks on the dispatch — OPTIMIZING.md rule 8)
-        r = _off._render_fused_flat_jit(
+        return _off._render_fused_flat_jit(
             flat, synth._wave, synth.block_size,
             float(synth.master_volume), packed_np[5],
             int(synth._minimum_voice_duration), float(synth.sample_rate),
             S, P, int(_nb), wave_ext, win_w, False, "int16",
         )
-        jax.block_until_ready(r)
-        return r
 
-    exec_runs, r = [], None
+    dl_runs, nbytes = [], 0
     for _ in range(3):  # min-of-3: single-shot link timings are noisy
-        te = time.perf_counter()
         r = _exec()
-        exec_runs.append(time.perf_counter() - te)
-    t2 = t1 + min(exec_runs)
-    dl_runs = []
-    for _ in range(3):
+        jax.block_until_ready(r)
+        nbytes = r.nbytes
         td = time.perf_counter()
-        np.asarray(r)
+        np.asarray(r)  # fresh array: first host read pays the stream
         dl_runs.append(time.perf_counter() - td)
-    t3 = t2 + min(dl_runs)
+    dl_ms = 1e3 * min(dl_runs)
     synth.reset()
     packed = _off._pack_schedule(par_np, ch_np)  # device-resident: chain below
     # amortized device time: ONE dispatch running n_chain dependent
@@ -205,11 +216,12 @@ def _measure_font(large_font: bool, seconds: float, n_chain: int = 50):
     jax.block_until_ready(_chain(*packed[:5]))
     exec_amort = (time.perf_counter() - t4) / n_chain
     stages = {
-        "schedule_host_ms": round(1e3 * (t1 - t0), 1),
-        "execute_device_ms": round(1e3 * (t2 - t1), 1),
+        "schedule_host_ms": round(sched_ms, 1),
+        "link_rtt_ms": round(rtt_ms, 1),
+        "download_link_ms": round(dl_ms, 1),
+        "link_mb_s": round(nbytes / max(dl_ms - rtt_ms, 0.1) / 1e3, 1),
         "execute_amortized_ms": round(1e3 * exec_amort, 2),
         "device_only_rtf": round(seconds / exec_amort, 0),
-        "download_link_ms": round(1e3 * (t3 - t2), 1),
     }
     return wall_f32, wall_i16, stages
 
