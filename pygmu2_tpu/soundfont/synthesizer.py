@@ -494,28 +494,30 @@ class Synthesizer:
             preset = self._preset_lookup.get(gm_pid, self._default_preset)
         if preset is None:
             return
-        for preset_region in preset.regions:
-            if preset_region.contains(key, velocity):
-                for inst_region in preset_region.instrument.regions:
-                    if inst_region.contains(key, velocity):
-                        # Generator resolution is pure in (regions, key,
-                        # velocity); notes repeat constantly, so memoize.
-                        # channel is part of the key so the cached record
-                        # is used verbatim (a dataclasses.replace per
-                        # note_on dominated the schedule pass).
-                        ck = (
-                            id(preset_region), id(inst_region), key,
-                            velocity, channel,
-                        )
-                        params = self._vp_cache.get(ck)
-                        if params is None:
+        # Region matching + generator resolution are pure in
+        # (preset, key, velocity, channel); notes repeat constantly, so
+        # memoize the whole matched-and-resolved voice list. channel is
+        # part of the key so the cached records are used verbatim (a
+        # dataclasses.replace per note_on dominated the schedule pass,
+        # and the region-range double scan was the next hotspot).
+        nk = (id(preset), key, velocity, channel)
+        plist = self._vp_cache.get(nk)
+        if plist is None:
+            plist = []
+            for preset_region in preset.regions:
+                if preset_region.contains(key, velocity):
+                    for inst_region in preset_region.instrument.regions:
+                        if inst_region.contains(key, velocity):
                             pair = RegionPair(preset_region, inst_region)
-                            params = resolve_voice_params(
-                                pair, channel, key, velocity, self._sample_rate
-                            )
-                            self._vp_cache[ck] = params
-                        slot = self._allocate_slot(params)
-                        self._write_slot(slot, params)
+                            plist.append(resolve_voice_params(
+                                pair, channel, key, velocity,
+                                self._sample_rate,
+                            ))
+            plist = tuple(plist)
+            self._vp_cache[nk] = plist
+        for params in plist:
+            slot = self._allocate_slot(params)
+            self._write_slot(slot, params)
 
     def note_off_all(self, immediate: bool):
         if immediate:

@@ -85,12 +85,13 @@ def _synth(font_bytes, block=128, poly=128):
     )
 
 
-def _render_hostctl(font_bytes, window: bool, block=128, seconds=SECONDS):
+def _render_hostctl(font_bytes, window: bool, block=128, seconds=SECONDS,
+                    events=None):
     s = _synth(font_bytes, block=block)
     off.FORCE_PALLAS_INTERPRET = window
     try:
         return off.render_midi_offline_hostctl(
-            s, MidiFile(build_midi(demo_events())), seconds
+            s, MidiFile(build_midi(events or demo_events())), seconds
         )
     finally:
         off.FORCE_PALLAS_INTERPRET = False
@@ -195,6 +196,45 @@ class TestWindowKernel:
         col = np.argwhere(small.any(axis=0)).ravel()[0]
         live_blocks = small[:, col]
         assert len(np.unique(ws[live_blocks, col])) == 1
+
+
+class TestRefreshPlan:
+    """Edges of the prefetched-refresh plan (host flag/nxt planes,
+    double-buffered window DMA, batched semaphore wait)."""
+
+    def test_flag_gap_late_onset(self, font):
+        """Anchored-only at first — the flag plane goes quiet after
+        block 0 — then a late non-looping onset forces a new flagged
+        block mid-render: the prefetch issued at block 0 must target
+        that block through the nxt chain, skipping the quiet gap."""
+        events = [
+            (0.0, 0xC0, 0, 0), (0.0, 0xC3, 3, 0),
+            (0.0, 0x90, 72, 100),   # anchored small loop only
+            (0.15, 0x93, 74, 70),   # late onset: window starts moving
+        ]
+        ref = _render_hostctl(font, window=False, events=events)
+        got = _render_hostctl(font, window=True, events=events)
+        late = int(0.16 * SR)
+        assert np.abs(ref[late:]).max() > 1e-4  # late note audible
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_single_block_render(self, font):
+        """B == 1: the prologue issues block 0's windows, the first
+        flip waits them, and nxt == B suppresses any further issue."""
+        one_block = 128 / SR
+        ref = _render_hostctl(font, window=False, seconds=one_block)
+        got = _render_hostctl(font, window=True, seconds=one_block)
+        assert ref.shape == got.shape == (128, 2)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_all_blocks_moving(self, font):
+        """A single non-looping voice: every live block is flagged —
+        back-to-back prefetch (issue at block b for b+1) stays exact."""
+        events = [(0.0, 0xC3, 3, 0), (0.0, 0x93, 74, 70)]
+        ref = _render_hostctl(font, window=False, events=events)
+        got = _render_hostctl(font, window=True, events=events)
+        assert np.abs(ref).max() > 1e-4
+        np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
 class TestWindowArgsGate:
