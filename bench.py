@@ -65,16 +65,21 @@ def build_font_bytes(large: bool = False) -> bytes:
     return build_sf2(samples, multizone=True)
 
 
-def build_midi_bytes() -> bytes:
-    """128-voice chord spread over 16 channels; note-offs at 2.0 s."""
+def build_midi_bytes(repeats: int = 1, period: float = 4.0,
+                     note_len: float = 2.0) -> bytes:
+    """128-voice chord spread over 16 channels, re-struck ``repeats``
+    times every ``period`` seconds (repeats=1: the headline 3 s score
+    with note-offs at 2.0 s)."""
     events = []
     keys = [48, 52, 55, 60, 64, 67, 72, 76]
-    for ch in range(16):
-        for k in keys:
-            events.append((0.0, 0x90 | ch, k + (ch % 3), 100))
-    for ch in range(16):
-        for k in keys:
-            events.append((2.0, 0x80 | ch, k + (ch % 3), 0))
+    for rep in range(repeats):
+        t0 = rep * period if repeats > 1 else 0.0
+        for ch in range(16):
+            for k in keys:
+                events.append((t0, 0x90 | ch, k + (ch % 3), 100))
+        for ch in range(16):
+            for k in keys:
+                events.append((t0 + note_len, 0x80 | ch, k + (ch % 3), 0))
 
     def varint(v):
         out = [v & 0x7F]
@@ -238,6 +243,27 @@ def main():
     wall_f32, wall_i16, stages = _measure_font(False, seconds)
     lg_f32, lg_i16, lg_stages = _measure_font(True, seconds, n_chain=20)
 
+    # long-render stage: 60 s through the same large font — the link
+    # round-trip amortizes over a realistic piece length, so this is
+    # the e2e number for actual renders (the 3 s headline pays one RTT
+    # for 3 s of audio and is tunnel-weather-bound).
+    import numpy as np
+
+    from pygmu2_tpu.soundfont import MidiFile
+    from pygmu2_tpu.soundfont.offline import render_midi_offline
+
+    long_s = 60.0
+    synth_lg, _ = build_workload(large_font=True)
+    midi_long = MidiFile(build_midi_bytes(repeats=15))
+    out = render_midi_offline(synth_lg, midi_long, long_s)  # warm
+    assert np.isfinite(out).all() and np.abs(out).max() > 0.01
+    longs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        render_midi_offline(synth_lg, midi_long, long_s, wire="int16")
+        longs.append(time.perf_counter() - t0)
+    long_wall = min(longs)
+
     # Headline: end-to-end realtime factor shipping DAC-ready int16 PCM
     # (the render itself is float32; wire format only changes transfer
     # bytes — f32 numbers reported alongside).
@@ -263,6 +289,11 @@ def main():
                         "rtf_f32_wire": round(seconds / lg_f32, 1),
                         "stages": lg_stages,
                         "workload": "same 128-voice score, ~1M-sample multizone font (windowed-DMA oscillator)",
+                    },
+                    "long_render": {
+                        "wall_s": round(long_wall, 3),
+                        "rtf": round(long_s / long_wall, 1),
+                        "workload": "60 s, chord re-struck every 4 s, large font, int16 wire (link RTT amortized)",
                     },
                     "workload": "128-voice SoundFont MIDI render, 3 s @ 44.1 kHz, block 1024, int16 wire",
                     "baseline": "reference vectorized meltysynth 12.37x realtime (CPU)",
