@@ -374,6 +374,13 @@ class Synthesizer:
         self._host_voice_blocks = np.zeros(P, dtype=np.int64)  # blocks since start
         self._host_active = np.zeros(P, dtype=bool)
         self._slot_exclusive_class = np.zeros(P, dtype=np.int32)
+        self._pri_cache = None  # memoized _host_priorities vector
+        # (channel, key) -> slots holding that note; each slot appears in
+        # at most one list (_slot_ck is the back-pointer). Entries are
+        # re-validated against _host_active/release_req on use, so stale
+        # slots (killed, device-retired, reset) are harmless.
+        self._ck_index: dict = {}
+        self._slot_ck: list = [None] * P
 
         self._dyn = None  # device state; created lazily
         self._block_cache = np.zeros((self._block_size, 2), np.float32)
@@ -469,16 +476,21 @@ class Synthesizer:
     # ---- note handling ---------------------------------------------------
 
     def note_off(self, channel, key):
-        mask = (
-            self._host_active
-            & (self._par["channel"] == channel)
-            & (self._par["key"] == key)
-            & (self._par["release_req"] == _NO_RELEASE)
-        )
-        vt = self._host_voice_blocks * self._block_size
-        self._par["release_req"][mask] = np.maximum(
-            vt[mask], self._minimum_voice_duration
-        )
+        # Index lookup instead of a 4-mask vector scan (the scan was the
+        # top cost of build_schedule on long scores); conditions are
+        # re-checked per slot so the result is identical.
+        slots = self._ck_index.get((channel, key))
+        if not slots:
+            return
+        rr = self._par["release_req"]
+        touched = False
+        for slot in slots:
+            if self._host_active[slot] and rr[slot] == _NO_RELEASE:
+                vt = int(self._host_voice_blocks[slot]) * self._block_size
+                rr[slot] = max(vt, self._minimum_voice_duration)
+                touched = True
+        if touched:
+            self._invalidate_pri()
 
     def note_on(self, channel, key, velocity):
         if velocity == 0:
@@ -528,6 +540,7 @@ class Synthesizer:
             self._par["release_req"][mask] = np.maximum(
                 vt[mask], self._minimum_voice_duration
             )
+        self._invalidate_pri()
 
     def note_off_all_channel(self, channel, immediate: bool):
         chmask = self._host_active & (self._par["channel"] == channel)
@@ -540,6 +553,7 @@ class Synthesizer:
             self._par["release_req"][mask] = np.maximum(
                 vt[mask], self._minimum_voice_duration
             )
+        self._invalidate_pri()
 
     def reset_all_controllers(self):
         for ch in self._channels:
@@ -561,11 +575,60 @@ class Synthesizer:
         self._host_active[:] = False
         self._par["note_gain"][:] = 0.0
         self._par["release_req"][:] = _NO_RELEASE
+        self._invalidate_pri()
 
     # ---- voice allocation (host) ----------------------------------------
 
+    def _invalidate_pri(self) -> None:
+        self._pri_cache = None
+
+    def _priority_of(self, i: int) -> float:
+        """Scalar replica of one row of :meth:`_host_priorities`.
+
+        Used to keep the memoized priority vector exact after
+        ``_write_slot`` touches a single slot (a chord strike allocates
+        up to P voices in one block; recomputing the full vector per
+        steal dominated ``build_schedule``). Arithmetic mirrors the
+        vector path step for step in float64 (f32 fields promote to f64
+        exactly; ``np.exp`` is used for the one transcendental so the
+        rounding matches) — ``tests/test_soundfont_alloc.py`` fuzzes
+        bitwise equality against the vector computation.
+        """
+        p = self._par
+        if not self._host_active[i]:
+            return -1.0
+        if float(p["note_gain"][i]) < NON_AUDIBLE:
+            return 0.0
+        t = (int(self._host_voice_blocks[i]) * self._block_size) / self._sample_rate
+        rr = float(p["release_req"][i])
+        released = rr != _NO_RELEASE
+        att = float(p["v_att_start"][i])
+        hold = float(p["v_hold_start"][i])
+        dec = float(p["v_dec_start"][i])
+        if t < att:
+            value, bonus = 0.0, 4.0
+        elif t < hold:
+            value, bonus = float(p["v_att_slope"][i]) * (t - att), 3.0
+        elif t < dec:
+            value, bonus = 1.0, 2.0
+        else:
+            x = float(p["v_dec_slope"][i]) * (t - dec)
+            decayed = 0.0 if x < LOG_NON_AUDIBLE else float(np.exp(x))
+            value, bonus = max(decayed, float(p["v_sustain"][i])), 1.0
+        if released and t >= rr / self._sample_rate:
+            bonus = 0.0
+        return bonus + value
+
     def _host_priorities(self) -> np.ndarray:
-        """Reference VolumeEnvelope.priority, computed in closed form."""
+        """Reference VolumeEnvelope.priority, computed in closed form.
+
+        The result is memoized: any mutation of the inputs either
+        invalidates the cache (:meth:`_invalidate_pri` — note-offs,
+        block advances, device sync, kill-all) or patches the one
+        affected row (:meth:`_write_slot` via :meth:`_priority_of`).
+        """
+        if self._pri_cache is not None:
+            return self._pri_cache
         p = self._par
         t = (self._host_voice_blocks * self._block_size) / self._sample_rate
         released = p["release_req"] != _NO_RELEASE
@@ -610,6 +673,7 @@ class Synthesizer:
         pri = stage_bonus + value
         pri = np.where(p["note_gain"] < NON_AUDIBLE, 0.0, pri)
         pri = np.where(~self._host_active, -1.0, pri)  # free slots first
+        self._pri_cache = pri
         return pri
 
     def _allocate_slot(self, params: VoiceParams) -> int:
@@ -624,9 +688,9 @@ class Synthesizer:
             for i in np.nonzero(same)[0]:
                 if self._slot_exclusive_class[i] == params.exclusive_class:
                     return int(i)
-        free = np.nonzero(~self._host_active)[0]
-        if free.size:
-            return int(free[0])
+        act = self._host_active
+        if not act.all():
+            return int(act.argmin())  # first free slot
         pri = self._host_priorities()
         lowest = pri.min()
         cands = np.nonzero(pri == lowest)[0]
@@ -687,6 +751,18 @@ class Synthesizer:
         self._host_active[slot] = vp.note_gain >= NON_AUDIBLE
         self._host_voice_blocks[slot] = 0
         self._slot_exclusive_class[slot] = vp.exclusive_class
+        old_ck = self._slot_ck[slot]
+        ck = (vp.channel, vp.key)
+        if old_ck != ck:
+            if old_ck is not None:
+                try:
+                    self._ck_index[old_ck].remove(slot)
+                except ValueError:
+                    pass
+            self._slot_ck[slot] = ck
+            self._ck_index.setdefault(ck, []).append(slot)
+        if self._pri_cache is not None:
+            self._pri_cache[slot] = self._priority_of(slot)
 
     _slot_exclusive_class: np.ndarray
 
@@ -752,6 +828,7 @@ class Synthesizer:
         """Pull the device's liveness verdict back to the host mirror."""
         if self._dyn is not None:
             self._host_active &= np.asarray(self._dyn["active"])
+            self._invalidate_pri()
 
     # ---- device kernel ---------------------------------------------------
 
@@ -1058,6 +1135,7 @@ class Synthesizer:
             np.float32(self.master_volume),
         )
         self._host_voice_blocks[self._host_active] += 1
+        self._invalidate_pri()
         return np.asarray(audio)
 
     def render(self, left, right, offset: int | None = None, count: int | None = None):
@@ -1148,6 +1226,7 @@ class Synthesizer:
             if b >= n_blocks:
                 break
             self._host_voice_blocks[self._host_active] += b - prev_b
+            self._invalidate_pri()
             prev_b = b
             while i < len(normal) and ev_blocks[i] == b:
                 m = normal[i][1]
@@ -1161,6 +1240,7 @@ class Synthesizer:
                 snaps_ch.append(self._channel_arrays())
                 snap_blocks.append(b)
         self._host_voice_blocks[self._host_active] += n_blocks - prev_b
+        self._invalidate_pri()
 
         snap_idx = (
             np.searchsorted(np.asarray(snap_blocks), np.arange(n_blocks), "right") - 1
