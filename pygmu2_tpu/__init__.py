@@ -38,6 +38,7 @@ from pygmu2_tpu.models.basic import (
     GainPE,
     IdentityPE,
     MixPE,
+    ParamPE,
     TransformPE,
 )
 from pygmu2_tpu.models.convolve import ConvolvePE, ReverbPE
@@ -190,6 +191,7 @@ __all__ = [
     "CompressorPE",
     "ConstantPE",
     "ControlPE",
+    "ParamPE",
     "ConvolvePE",
     "DynamicsPE",
     "ExpanderPE",

@@ -76,13 +76,20 @@ class TraceContext:
     indices, and the state protocol.
     """
 
-    def __init__(self, program: "Program", block_start, states: dict | None):
+    def __init__(
+        self,
+        program: "Program",
+        block_start,
+        states: dict | None,
+        bindings: dict | None = None,
+    ):
         self._program = program
         self._block_start = block_start
         self._states_in = states  # None on the very first (init) trace
         self._states_out: dict[str, Any] = {}
         self._memo: dict[tuple, Any] = {}
         self._stack: list[_Frame] = []
+        self._bindings = bindings  # name -> traced value (ParamPE)
 
     # ---- frame info -----------------------------------------------------
 
@@ -250,6 +257,19 @@ class TraceContext:
 
         return isinstance(value, ProcessingElement)
 
+    # ---- runtime-bindable parameters (ParamPE) ---------------------------
+
+    def binding(self, name: str, default):
+        """The bound value for ``name``: a traced scalar (or ``(C,)``
+        vector) when the render was given ``bindings={name: value}``,
+        else ``default``. Because bindings enter the program as jit
+        ARGUMENTS (not trace-time constants), changing a bound value
+        never recompiles — and the program is differentiable and
+        vmap-able with respect to it."""
+        if self._bindings is not None and name in self._bindings:
+            return jnp.asarray(self._bindings[name], dtype=prec.AUDIO)
+        return jnp.asarray(float(default), dtype=prec.AUDIO)
+
     # ---- state protocol -------------------------------------------------
 
     def state(self, pe, init, reset_on_gap: bool = True):
@@ -328,16 +348,17 @@ class Program:
         self._fn_first = jax.jit(self._run_first)
         self._fn_step = jax.jit(self._run_step)
         self._scan_fn = None
+        self._scan_fn_bound = None
 
     # ---- traced bodies --------------------------------------------------
 
-    def _run_first(self, block_start):
-        ctx = TraceContext(self, block_start, None)
+    def _run_first(self, block_start, bindings=None):
+        ctx = TraceContext(self, block_start, None, bindings)
         out = ctx._render_node(self.root, block_start, 0, self.duration)
         return out, ctx._collect_states()
 
-    def _run_step(self, block_start, states):
-        ctx = TraceContext(self, block_start, states)
+    def _run_step(self, block_start, states, bindings=None):
+        ctx = TraceContext(self, block_start, states, bindings)
         out = ctx._render_node(self.root, block_start, 0, self.duration)
         return out, ctx._collect_states()
 
@@ -425,11 +446,15 @@ def get_program(root, duration: int) -> Program:
     return prog
 
 
-def render_scan(root, start: int, total: int, block: int):
+def render_scan(root, start: int, total: int, block: int, bindings=None):
     """Render ``[start, start+total)`` as a ``lax.scan`` over fixed blocks.
 
     Returns a device array ``(total, C)``. One compile, one device launch
     for the whole timeline — the offline/benchmark fast path.
+
+    ``bindings`` maps :class:`~pygmu2_tpu.models.basic.ParamPE` names to
+    runtime values; they enter the program as jit arguments, so sweeping
+    a bound value re-runs the SAME compiled program (no retrace).
     """
     if total <= 0:
         return jnp.zeros((0, root.channel_count() or 1), dtype=prec.AUDIO)
@@ -440,21 +465,35 @@ def render_scan(root, start: int, total: int, block: int):
     states = _gather_states(root)
     first_start = jnp.asarray(start, dtype=prec.INDEX)
     if states is None:
-        out0, states = prog._fn_first(first_start)
+        out0, states = prog._fn_first(first_start, bindings)
     else:
-        out0, states = prog._fn_step(first_start, states)
+        out0, states = prog._fn_step(first_start, states, bindings)
 
     if n_blocks > 1:
         starts = start + block * jnp.arange(1, n_blocks, dtype=prec.INDEX)
 
-        if prog._scan_fn is None:
+        if bindings is None:
+            if prog._scan_fn is None:
 
-            def step(carry, s):
-                out, new_carry = prog._run_step(s, carry)
-                return new_carry, out
+                def step(carry, s):
+                    out, new_carry = prog._run_step(s, carry)
+                    return new_carry, out
 
-            prog._scan_fn = jax.jit(lambda st, xs: jax.lax.scan(step, st, xs))
-        states, rest = prog._scan_fn(states, starts)
+                prog._scan_fn = jax.jit(lambda st, xs: jax.lax.scan(step, st, xs))
+            states, rest = prog._scan_fn(states, starts)
+        else:
+            if prog._scan_fn_bound is None:
+
+                def step_bound(b, carry, s):
+                    out, new_carry = prog._run_step(s, carry, b)
+                    return new_carry, out
+
+                prog._scan_fn_bound = jax.jit(
+                    lambda st, xs, b: jax.lax.scan(
+                        lambda c, s: step_bound(b, c, s), st, xs
+                    )
+                )
+            states, rest = prog._scan_fn_bound(states, starts, bindings)
         out = jnp.concatenate(
             [out0[None], rest], axis=0
         ).reshape(n_blocks * block, -1)[:total]
@@ -462,6 +501,48 @@ def render_scan(root, start: int, total: int, block: int):
         out = out0[:total]
     _scatter_states(root, states)
     return out
+
+
+def render_functional(root, start: int, total: int, block: int, bindings=None):
+    """Purely-functional render: fresh state, no instance state read or
+    written — safe to call under ``jax.grad`` / ``jax.vmap`` / ``jax.jit``
+    (``render_scan`` scatters carried state onto the PE instances, which
+    would leak tracers inside a transform).
+
+    With ``bindings`` this is the differentiable-synthesis entry point:
+
+        loss = lambda b: jnp.mean((render_functional(g, 0, N, B, b) - t) ** 2)
+        grads = jax.grad(loss)({"cutoff": 800.0})
+
+    Gradients flow through every scan/closed-form path; Pallas kernels
+    (TPU ladder/comb/KS/ADSR fast paths) define no VJP — their
+    ``lax.scan`` fallbacks (CPU backend) are differentiable.
+    """
+    if total <= 0:
+        return jnp.zeros((0, root.channel_count() or 1), dtype=prec.AUDIO)
+    block = int(min(block, total))
+    n_blocks = -(-total // block)
+    prog = get_program(root, block)
+
+    out0, states = prog._fn_first(jnp.asarray(start, dtype=prec.INDEX), bindings)
+    if n_blocks == 1:
+        return out0[:total]
+    starts = start + block * jnp.arange(1, n_blocks, dtype=prec.INDEX)
+    if prog._scan_fn_bound is None:
+
+        def step_bound(b, carry, s):
+            out, new_carry = prog._run_step(s, carry, b)
+            return new_carry, out
+
+        prog._scan_fn_bound = jax.jit(
+            lambda st, xs, b: jax.lax.scan(
+                lambda c, s: step_bound(b, c, s), st, xs
+            )
+        )
+    _, rest = prog._scan_fn_bound(states, starts, bindings)
+    return jnp.concatenate([out0[None], rest], axis=0).reshape(
+        n_blocks * block, -1
+    )[:total]
 
 
 # ---- checkpoint / resume -------------------------------------------------

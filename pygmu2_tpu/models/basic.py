@@ -46,6 +46,62 @@ class ConstantPE(SourcePE):
         return f"ConstantPE(value={self._value}, channels={self._channels})"
 
 
+class ParamPE(SourcePE):
+    """Named runtime-bindable parameter source (no reference counterpart —
+    a TPU-native extension the reference's eager interpreter cannot offer).
+
+    Where a plain float parameter is baked into the compiled program as a
+    constant (changing it re-traces), a ``ParamPE`` reads its value from
+    the ``bindings`` dict passed to the render call
+    (``engine.render_scan`` / ``engine.render_functional`` /
+    ``render_to_array``) as a jit ARGUMENT. Consequences:
+
+    * sweeping the value re-runs the same compiled program — no retrace;
+    * the program is differentiable with respect to it
+      (``jax.grad`` through ``engine.render_functional``);
+    * ``jax.vmap`` over a batch of bindings renders parameter variants
+      in one launch.
+
+    Accepts any PE parameter slot that takes ``float | ProcessingElement``
+    (the reference's scalar-or-PE convention,
+    reference: src/pygmu2/processing_element.py:296-363). Unbound renders
+    produce ``default``. Pure: safe to share across many consumers.
+    """
+
+    def __init__(self, name: str, default: float = 0.0, channels: int = 1):
+        if not name:
+            raise ValueError("ParamPE needs a non-empty name")
+        self._name = str(name)
+        self._default = float(default)
+        self._channels = int(channels)
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def default(self) -> float:
+        return self._default
+
+    def channel_count(self) -> int:
+        return self._channels
+
+    def _trace(self, ctx):
+        val = jnp.atleast_1d(ctx.binding(self._name, self._default))
+        if val.shape[0] not in (1, self._channels):
+            raise ValueError(
+                f"binding {self._name!r} has {val.shape[0]} values for "
+                f"{self._channels} channels"
+            )
+        return jnp.broadcast_to(val[None, :], (ctx.duration, self._channels))
+
+    def __repr__(self) -> str:
+        return (
+            f"ParamPE(name={self._name!r}, default={self._default}, "
+            f"channels={self._channels})"
+        )
+
+
 class IdentityPE(SourcePE):
     """Outputs its own absolute sample index — the canonical test signal."""
 

@@ -978,8 +978,12 @@ def render_midi_offline(synth, midi_file, seconds: float,
     flat = _pack_flat(pf32, pi32, pf64, cf32, chold, snap_idx)
     total = int(round(seconds * synth.sample_rate))
     if pipeline is None:
+        # ~200 blocks (~4.6 s at block 1024) per segment measured best
+        # on the dev tunnel: more segments overlap download deeper into
+        # the compute, until per-dispatch overhead wins (K=12 beat K=4
+        # by 17% on a 60 s render; see BENCHMARKS.md).
         pipeline = (
-            PIPELINE_SEGMENTS
+            max(PIPELINE_SEGMENTS, min(16, int(n_blocks) // 200))
             if int(n_blocks) >= 2 * PIPELINE_SEGMENTS
             and _pipeline_kernel_ok(synth, win_w)
             else 0

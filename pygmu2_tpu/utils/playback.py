@@ -37,11 +37,13 @@ def render_to_array(
     *,
     extent=None,
     block: int = 16384,
+    bindings: dict | None = None,
 ) -> np.ndarray:
     """Render the source's full (finite) extent to a host float32 array.
 
     Validates the graph, runs lifecycle hooks, and scan-renders in one
-    device launch.
+    device launch. ``bindings`` supplies values for any ``ParamPE``
+    nodes in the graph (jit arguments — re-binding never recompiles).
     """
     if extent is None:
         extent = source.extent()
@@ -52,7 +54,8 @@ def render_to_array(
     with renderer:
         renderer.start()
         out = engine.render_scan(
-            source, extent.start, extent.end - extent.start, block
+            source, extent.start, extent.end - extent.start, block,
+            bindings=bindings,
         )
         return np.asarray(out)
 

@@ -139,6 +139,13 @@ class TestConstantPEContract(RenderMixin):
         return pg.ConstantPE(0.5, channels=2)
 
 
+class TestParamPEContract(RenderMixin):
+    PURE, CHANNELS, N_INPUTS, EXTENT = True, 1, 0, "infinite"
+
+    def make(self):
+        return pg.ParamPE("cutoff", default=0.7)
+
+
 class TestIdentityPEContract(RenderMixin):
     PURE, CHANNELS, N_INPUTS, EXTENT = True, 1, 0, "infinite"
 
