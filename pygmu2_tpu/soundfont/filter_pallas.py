@@ -379,10 +379,19 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
     now-free buffer — the HBM transfer rides under a full block of
     compute instead of stalling the pipeline (measured 0.9 ms of a
     3.6 ms render for a ~1M-sample font at 128 voices, all-moving).
-    Flagged blocks refresh ALL voices (unchanged voices re-fetch the
-    same bytes — hidden bandwidth is cheaper than per-voice buffer
-    tracking); unflagged stretches (anchored loops, sustained notes)
-    cost nothing.
+
+    Refresh is PER-VOICE: a window's content depends only on its start
+    ``ws`` (the wavetable is static), so a flagged block need only copy
+    voices whose ws differs from what its buffer last held — with the
+    two-buffer rotation that is exactly ``ws[f_k] != ws[f_{k-2}]`` over
+    flagged blocks f_0 < f_1 < … (f_0/f_1 copy everything: both buffers
+    start empty). The host ships the per-block moved COUNT (``cnt``)
+    and a moved-first voice-id permutation (``mvl``); the issue loop
+    runs cnt iterations instead of P (the scalar issue loop, not the
+    hidden transfer, is the refresh cost — a bend-heavy schedule flags
+    nearly every block but moves only the sounding voices), and the
+    wait drains cnt one-voice-sized descriptors. Unflagged stretches
+    (anchored loops, sustained notes) cost nothing.
     """
     cpb = N // chunk
     CS = chunk
@@ -390,8 +399,8 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
     rows_w = W // 128
     ralign = align // 128  # window start alignment in 128-lane rows
 
-    def kernel(wave_ref, ws_smem, flag_smem, nxt_smem, lo_smem, hi_smem,
-               *refs):
+    def kernel(wave_ref, ws_smem, flag_smem, nxt_smem, cnt_smem, mvl_smem,
+               lo_smem, hi_smem, *refs):
         nf, ni = len(_WIN_F32_T), len(_WIN_I32_T)
         tf = dict(zip(_WIN_F32_T, refs[:nf]))
         ti = dict(zip(_WIN_I32_T, refs[nf : nf + ni]))
@@ -400,13 +409,14 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
          win, sem) = refs[nf + ni + len(_FILTER_ROWS) :]
         P = tf["ratio"].shape[1]
 
-        def issue_all(b, buf):
-            """Start the P per-voice window copies on ONE shared DMA
-            semaphore (DMA semaphores count bytes, so the batch can be
-            drained by a single wait of the total size)."""
+        def issue_moved(b, buf):
+            """Start block b's per-voice window copies (moved voices
+            only) on ONE shared DMA semaphore (DMA semaphores count
+            bytes, so the batch can be drained by same-size waits)."""
             boff = buf * jnp.int32(KS)
 
-            def issue(p, _):
+            def issue(v, _):
+                p = mvl_smem[b, v]
                 row0 = pl.multiple_of(
                     jax.lax.shift_right_logical(
                         ws_smem[b, p], jnp.int32(7)
@@ -420,22 +430,27 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
                 ).start()
                 return 0
 
-            jax.lax.fori_loop(0, P, issue, 0)
+            jax.lax.fori_loop(0, cnt_smem[b], issue, 0)
 
-        def wait_all(buf):
-            """ONE semaphore wait for the whole refresh batch: a
-            descriptor over the full destination half counts exactly
-            P × (rows_w · 128) floats — the bytes the P copies signal."""
-            boff = buf * jnp.int32(KS)
-            other = jnp.int32(KS) - boff
-            pltpu.make_async_copy(
-                win.at[pl.ds(other, rows_w), :, :],
-                win.at[pl.ds(boff, rows_w), :, :],
-                sem.at[jnp.int32(0)],
-            ).wait()
+        def wait_moved(b):
+            """Drain block b's refresh batch: cnt[b] waits of a fake
+            one-voice-sized descriptor (rows_w × 128 floats each —
+            exactly what each issued copy signals; pltpu.semaphore_wait
+            refuses DMA semaphores, a same-size descriptor's .wait()
+            is the working idiom)."""
+
+            def w(v, _):
+                pltpu.make_async_copy(
+                    win.at[pl.ds(0, rows_w), pl.ds(0, 1), :],
+                    win.at[pl.ds(0, rows_w), pl.ds(0, 1), :],
+                    sem.at[jnp.int32(0)],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, cnt_smem[b], w, 0)
 
         # prologue: block 0 is always flagged; its windows go to buf 0
-        issue_all(jnp.int32(0), jnp.int32(0))
+        issue_moved(jnp.int32(0), jnp.int32(0))
 
         def osc_chunk(blk, j, bp):
             """(CS, P) oscillator samples for sub-chunk j of block blk."""
@@ -515,12 +530,12 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
 
             @pl.when(flip)
             def _():
-                wait_all(bp)
+                wait_moved(blk)
                 nr = nxt_smem[blk]
 
                 @pl.when(nr < jnp.int32(B))
                 def _():
-                    issue_all(nr, jnp.int32(1) - bp)
+                    issue_moved(nr, jnp.int32(1) - bp)
 
             x = osc_chunk(blk, j, bp)  # (CS, P)
 
@@ -647,6 +662,20 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
     nxt = jnp.concatenate(
         [sufmin[1:], jnp.full((1,), jnp.int32(B))]
     )  # strictly after b
+    # per-voice refresh lists: with the two-buffer rotation, flagged
+    # block f_k reuses the buffer last filled at f_{k-2}, and window
+    # content depends only on ws — so f_k must copy exactly the voices
+    # with ws[f_k] != ws[f_{k-2}] (copy-all when fewer than two flagged
+    # predecessors: that buffer is still empty).
+    p1 = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jax.lax.cummax(jnp.where(flag > 0, idx, jnp.int32(-1)))[:-1]]
+    )  # last flagged index strictly before b (-1: none)
+    p2 = jnp.where(p1 >= 0, jnp.take(p1, jnp.maximum(p1, 0)), jnp.int32(-1))
+    ws_p2 = jnp.take(ws, jnp.maximum(p2, 0), axis=0)  # (B, P)
+    mv = ((p2 < 0)[:, None] | (ws != ws_p2)) & (flag > 0)[:, None]
+    cnt = jnp.sum(mv, axis=1).astype(jnp.int32)
+    mvl = jnp.argsort(~mv, axis=1, stable=True).astype(jnp.int32)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -657,7 +686,7 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
             jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
             jax.ShapeDtypeStruct((4, P), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [sspec] * 5
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [sspec] * 7
         + [vspec] * (len(_WIN_F32_T) + len(_WIN_I32_T) + len(_FILTER_ROWS) + 2),
         out_specs=(vspec, vspec, vspec),
         scratch_shapes=[
@@ -670,6 +699,8 @@ def osc_window_filter_gain_mix_pallas(rows, wave_ext, N: int, W: int,
         ws,
         flag,
         nxt,
+        cnt,
+        mvl,
         lo,
         hi,
         *tf,

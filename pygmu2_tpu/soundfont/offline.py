@@ -22,6 +22,7 @@ Output matches the scanned renderer to float32 round-off.
 
 from __future__ import annotations
 
+import concurrent.futures
 import math
 
 import numpy as np
@@ -1544,7 +1545,17 @@ def _pipeline_kernel_ok(synth, win_w) -> bool:
 
 def _render_pipelined(synth, flat, flags, S, P, n_blocks, wave_ext, win_w,
                       wire, segments):
-    """K-segment dispatch loop with eager per-segment D2H."""
+    """K-segment dispatch loop with eager per-segment D2H.
+
+    Downloads drain on a worker thread (one, FIFO) while the main
+    thread keeps issuing segment dispatches: on link-attached devices
+    each dispatch pays a synchronous round-trip (~3-30 ms through the
+    dev tunnel), and draining ``np.asarray`` only after the dispatch
+    loop serializes those RTTs with the payload stream. Both sides
+    block in C++ (GIL released), so the overlap is real; dispatch
+    order — hence output — is unchanged (segment state threads through
+    the main thread only).
+    """
     N = synth.block_size
     if win_w is None:
         wave = synth._wave
@@ -1561,14 +1572,15 @@ def _render_pipelined(synth, flat, flags, S, P, n_blocks, wave_ext, win_w,
     K = max(1, min(int(segments), int(n_blocks)))
     base, rem = divmod(int(n_blocks), K)
     st = np.zeros((4, P), np.float32)
-    outs = []
     b0 = 0
-    for k in range(K):
-        sb = base + (1 if k < rem else 0)
-        out, st = _render_rows_seg_jit(
-            rows, st, np.int32(b0), wave, N, sb, win_w, wire, interp
-        )
-        out.copy_to_host_async()
-        outs.append(out)
-        b0 += sb
-    return np.concatenate([np.asarray(o) for o in outs])
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        futs = []
+        for k in range(K):
+            sb = base + (1 if k < rem else 0)
+            out, st = _render_rows_seg_jit(
+                rows, st, np.int32(b0), wave, N, sb, win_w, wire, interp
+            )
+            out.copy_to_host_async()
+            futs.append(pool.submit(np.asarray, out))
+            b0 += sb
+        return np.concatenate([f.result() for f in futs])
