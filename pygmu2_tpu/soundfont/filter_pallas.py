@@ -433,21 +433,28 @@ def _make_window_kernel(N: int, chunk: int, B: int, W: int, align: int):
             jax.lax.fori_loop(0, cnt_smem[b], issue, 0)
 
         def wait_moved(b):
-            """Drain block b's refresh batch: cnt[b] waits of a fake
-            one-voice-sized descriptor (rows_w × 128 floats each —
-            exactly what each issued copy signals; pltpu.semaphore_wait
-            refuses DMA semaphores, a same-size descriptor's .wait()
-            is the working idiom)."""
+            """Drain block b's refresh batch in O(log P) waits: DMA
+            semaphores count bytes, so a fake descriptor spanning 2^k
+            voice columns counts 2^k one-voice copies — waiting one
+            descriptor per set bit of cnt[b] drains exactly cnt
+            copies' worth. (A serial cnt-iteration wait loop cost ~8%
+            of the sustained-chord render: 91 flagged blocks × up to
+            128 scalar waits; pltpu.semaphore_wait refuses DMA
+            semaphores, same-size descriptors' .wait() is the idiom.)"""
+            c = cnt_smem[b]
+            k = 0
+            while (1 << k) <= P:
+                sz = 1 << k
 
-            def w(v, _):
-                pltpu.make_async_copy(
-                    win.at[pl.ds(0, rows_w), pl.ds(0, 1), :],
-                    win.at[pl.ds(0, rows_w), pl.ds(0, 1), :],
-                    sem.at[jnp.int32(0)],
-                ).wait()
-                return 0
+                @pl.when(jnp.bitwise_and(c, jnp.int32(sz)) != 0)
+                def _(sz=sz):
+                    pltpu.make_async_copy(
+                        win.at[pl.ds(0, rows_w), pl.ds(0, sz), :],
+                        win.at[pl.ds(0, rows_w), pl.ds(0, sz), :],
+                        sem.at[jnp.int32(0)],
+                    ).wait()
 
-            jax.lax.fori_loop(0, cnt_smem[b], w, 0)
+                k += 1
 
         # prologue: block 0 is always flagged; its windows go to buf 0
         issue_moved(jnp.int32(0), jnp.int32(0))
