@@ -97,6 +97,22 @@ _PAR_FIELDS = [
     ("lv_off", np.int32),
 ]
 
+# Field order of the batched note-on bundles (_build_bundle /
+# _write_slots_batch): the float32 / float64 planes _write_slot stores,
+# minus the non-VoiceParams ones (epoch increments, release_req resets,
+# lv_off / channel / loop_mode ride the i32 rows).
+_BATCH_F32 = (
+    "key", "note_gain", "cutoff", "resonance", "vib2pitch", "mod2pitch",
+    "modenv2pitch", "modlfo2cut", "modenv2cut", "modlfo2vol", "inst_pan",
+    "v_att_start", "v_hold_start", "v_dec_start", "v_att_slope",
+    "v_dec_slope", "v_rel_slope", "v_sustain", "m_att_start",
+    "m_hold_start", "m_dec_start", "m_att_slope", "m_dec_slope",
+    "m_dec_end", "m_rel_dur", "m_sustain", "vib_delay", "vib_period",
+    "mod_delay", "mod_period", "root_key", "tune", "pitch_scale",
+)
+_BF32 = {name: j for j, name in enumerate(_BATCH_F32)}
+_BATCH_F64 = ("smp_start", "smp_end", "loop_start", "loop_end", "srate_ratio")
+
 _CH_FIELDS = [
     ("ch_mod", np.float32),
     ("ch_vol_exp", np.float32),
@@ -492,12 +508,56 @@ class Synthesizer:
         if touched:
             self._invalidate_pri()
 
+    def note_off_batch(self, offs) -> None:
+        """Vectorized run of :meth:`note_off` calls ((channel, key)
+        pairs). Identical result: the per-slot release stores are
+        independent and idempotent (a slot already marked keeps its
+        earlier release_req), so one masked vector store matches the
+        sequential loop bitwise."""
+        slots = []
+        for c, k in offs:
+            s = self._ck_index.get((c, k))
+            if s:
+                slots.extend(s)
+        if not slots:
+            return
+        sl = np.asarray(slots, np.intp)
+        rr = self._par["release_req"]
+        mask = self._host_active[sl] & (rr[sl] == _NO_RELEASE)
+        if not mask.any():
+            return
+        hit = sl[mask]
+        vt = self._host_voice_blocks[hit] * self._block_size
+        rr[hit] = np.maximum(vt, self._minimum_voice_duration).astype(
+            rr.dtype
+        )
+        self._invalidate_pri()
+
     def note_on(self, channel, key, velocity):
         if velocity == 0:
             self.note_off(channel, key)
             return
-        if not (0 <= channel < self._CHANNEL_COUNT):
+        ent = self._resolve_note(channel, key, velocity)
+        if ent is None:
             return
+        for params in ent[0]:
+            slot = self._allocate_slot(params)
+            self._write_slot(slot, params)
+
+    def _resolve_note(self, channel, key, velocity):
+        """Memoized (voice list, batch bundle) for one note-on.
+
+        Region matching + generator resolution are pure in
+        (preset, key, velocity, channel); notes repeat constantly, so
+        memoize the whole matched-and-resolved voice list. channel is
+        part of the key so the cached records are used verbatim (a
+        dataclasses.replace per note_on dominated the schedule pass,
+        and the region-range double scan was the next hotspot). The
+        bundle is the same data as per-field numpy rows for
+        :meth:`_write_slots_batch`.
+        """
+        if not (0 <= channel < self._CHANNEL_COUNT):
+            return None
         ch = self._channels[channel]
         pid = (ch.bank_number << 16) | ch.patch_number
         preset = self._preset_lookup.get(pid)
@@ -505,16 +565,10 @@ class Synthesizer:
             gm_pid = ch.patch_number if ch.bank_number < 128 else (128 << 16)
             preset = self._preset_lookup.get(gm_pid, self._default_preset)
         if preset is None:
-            return
-        # Region matching + generator resolution are pure in
-        # (preset, key, velocity, channel); notes repeat constantly, so
-        # memoize the whole matched-and-resolved voice list. channel is
-        # part of the key so the cached records are used verbatim (a
-        # dataclasses.replace per note_on dominated the schedule pass,
-        # and the region-range double scan was the next hotspot).
+            return None
         nk = (id(preset), key, velocity, channel)
-        plist = self._vp_cache.get(nk)
-        if plist is None:
+        ent = self._vp_cache.get(nk)
+        if ent is None:
             plist = []
             for preset_region in preset.regions:
                 if preset_region.contains(key, velocity):
@@ -526,10 +580,219 @@ class Synthesizer:
                                 self._sample_rate,
                             ))
             plist = tuple(plist)
-            self._vp_cache[nk] = plist
-        for params in plist:
-            slot = self._allocate_slot(params)
-            self._write_slot(slot, params)
+            ent = (plist, self._build_bundle(plist))
+            self._vp_cache[nk] = ent
+        return ent
+
+    def _build_bundle(self, plist) -> dict:
+        """Per-field numpy rows for a resolved voice list (memoized with
+        it): everything :meth:`_write_slot` stores, stacked so a chord
+        strike writes each plane once (:meth:`_write_slots_batch`).
+        ``pri0`` is each voice's t=0 priority computed with the exact
+        :meth:`_host_priorities` arithmetic on the float32-stored field
+        values, so the batch path's memoized-priority patch is bitwise
+        identical to the sequential :meth:`_priority_of` patch."""
+        n = len(plist)
+        f32 = np.zeros((n, len(_BATCH_F32)), np.float32)
+        f64 = np.zeros((n, len(_BATCH_F64)), np.float64)
+        i32 = np.zeros((n, 3), np.int32)
+        excl = np.zeros((n,), np.int32)
+        cks = []
+        for r, vp in enumerate(plist):
+            ve, me = vp.vol_env, vp.mod_env
+            f32[r] = (
+                vp.key, vp.note_gain, vp.cutoff, vp.resonance,
+                vp.vib_lfo_to_pitch, vp.mod_lfo_to_pitch,
+                vp.mod_env_to_pitch, vp.mod_lfo_to_cutoff,
+                vp.mod_env_to_cutoff, vp.mod_lfo_to_volume,
+                vp.instrument_pan, ve.attack_start, ve.hold_start,
+                ve.decay_start, ve.attack_slope, ve.decay_slope,
+                ve.release_slope, ve.sustain, me.attack_start,
+                me.hold_start, me.decay_start, me.attack_slope,
+                me.decay_slope, me.decay_end, me.release_end, me.sustain,
+                vp.vib_lfo_delay, vp.vib_lfo_period, vp.mod_lfo_delay,
+                vp.mod_lfo_period, vp.root_key, vp.tune,
+                vp.pitch_change_scale,
+            )
+            f64[r] = (
+                vp.sample_start, vp.sample_end, vp.start_loop,
+                vp.end_loop, vp.sample_rate_ratio,
+            )
+            i32[r] = (
+                vp.channel, vp.loop_mode,
+                self._loop_view_offset(int(vp.start_loop), int(vp.end_loop)),
+            )
+            excl[r] = vp.exclusive_class
+            cks.append((vp.channel, vp.key))
+        # t = 0, not released: the _host_priorities stage chain on the
+        # f32-stored envelope fields (f32 -> f64 promotion is exact)
+        att = f32[:, _BF32["v_att_start"]].astype(np.float64)
+        hold = f32[:, _BF32["v_hold_start"]].astype(np.float64)
+        dec = f32[:, _BF32["v_dec_start"]].astype(np.float64)
+        t = np.float64(0.0)
+        with np.errstate(over="ignore", invalid="ignore"):
+            x = f32[:, _BF32["v_att_slope"]] * (t - att)
+            xd = f32[:, _BF32["v_dec_slope"]] * (t - dec)
+            value = np.where(
+                t < att,
+                0.0,
+                np.where(
+                    t < hold,
+                    x,
+                    np.where(
+                        t < dec,
+                        1.0,
+                        np.maximum(
+                            np.where(
+                                xd < LOG_NON_AUDIBLE, 0.0, np.exp(xd)
+                            ),
+                            f32[:, _BF32["v_sustain"]],
+                        ),
+                    ),
+                ),
+            )
+        bonus = np.where(
+            t < att, 4.0, np.where(t < hold, 3.0, np.where(t < dec, 2.0, 1.0))
+        )
+        gain = f32[:, _BF32["note_gain"]]
+        pri0 = np.where(gain < NON_AUDIBLE, 0.0, bonus + value)
+        return {
+            "n": n,
+            "f32": f32,
+            "f64": f64,
+            "i32": i32,
+            "excl": excl,
+            "cks": cks,
+            "pri0": pri0,
+            "pri0_min": float(pri0.min()) if n else np.inf,
+            "audible": bool((gain >= NON_AUDIBLE).all()),
+            "has_excl": bool(excl.any()),
+        }
+
+    def note_on_batch(self, notes) -> None:
+        """Process a run of same-block note-ons, bitwise-identically to
+        sequential :meth:`note_on` calls but with the slot writes (and
+        the steal selection) batched — a 128-voice chord strike was the
+        dominant cost of :meth:`build_schedule` on chordal scores.
+
+        The batch path engages only when its selections provably match
+        the sequential ones: no exclusive classes (those retrigger
+        in-burst slots), every voice audible (an inaudible write leaves
+        its slot re-allocatable), and every stolen slot's priority
+        strictly below the lowest priority any newly written voice gets
+        (so later steals never pick an in-burst write). Sequential
+        semantics: free slots fill in index order first, then steals in
+        (priority asc, age desc, index asc) order — exactly the
+        argmin/argmax-age chain of :meth:`_allocate_slot`. Anything
+        else (velocity 0, live device state, tiny bursts) falls back to
+        the sequential loop.
+        """
+        if self._dyn is not None or len(notes) < 8:
+            for c, k, v in notes:
+                self.note_on(c, k, v)
+            return
+        ents = []
+        for c, k, v in notes:
+            if v == 0:  # caller filters these; stay exact regardless
+                for c2, k2, v2 in notes:
+                    self.note_on(c2, k2, v2)
+                return
+            ents.append(self._resolve_note(c, k, v))
+        bundles = [e[1] for e in ents if e is not None and e[1]["n"]]
+        if not bundles:
+            return
+        if not all(b["audible"] for b in bundles) or any(
+            b["has_excl"] for b in bundles
+        ):
+            for (c, k, v), ent in zip(notes, ents):
+                if ent is None:
+                    continue
+                for params in ent[0]:
+                    slot = self._allocate_slot(params)
+                    self._write_slot(slot, params)
+            return
+        n = sum(b["n"] for b in bundles)
+        self._sync_active()
+        act = self._host_active
+        free = np.nonzero(~act)[0]
+        n_free = min(free.size, n)
+        n_steal = n - n_free
+        if n_steal == 0:
+            slots = free[:n]
+        else:
+            act_idx = np.nonzero(act)[0]
+            pri = self._host_priorities()
+            min_new = min(b["pri0_min"] for b in bundles)
+            if n_steal > act_idx.size:
+                slots = None
+            else:
+                order = np.lexsort(
+                    (-self._host_voice_blocks[act_idx], pri[act_idx])
+                )
+                steal = act_idx[order[:n_steal]]
+                slots = (
+                    np.concatenate([free, steal])
+                    if float(pri[steal].max()) < min_new
+                    else None
+                )
+            if slots is None:  # guard failed: sequential steals
+                for (c, k, v), ent in zip(notes, ents):
+                    if ent is None:
+                        continue
+                    for params in ent[0]:
+                        slot = self._allocate_slot(params)
+                        self._write_slot(slot, params)
+                return
+        self._write_slots_batch(slots, bundles)
+
+    def _write_slots_batch(self, slots, bundles) -> None:
+        """:meth:`_write_slot` over distinct ``slots`` (len = total
+        bundle voices, in voice order), one vectorized store per
+        plane."""
+        p = self._par
+        one = len(bundles) == 1
+        f32 = bundles[0]["f32"] if one else np.concatenate(
+            [b["f32"] for b in bundles]
+        )
+        f64 = bundles[0]["f64"] if one else np.concatenate(
+            [b["f64"] for b in bundles]
+        )
+        i32 = bundles[0]["i32"] if one else np.concatenate(
+            [b["i32"] for b in bundles]
+        )
+        excl = bundles[0]["excl"] if one else np.concatenate(
+            [b["excl"] for b in bundles]
+        )
+        p["epoch"][slots] += 1
+        for j, name in enumerate(_BATCH_F32):
+            p[name][slots] = f32[:, j]
+        for j, name in enumerate(_BATCH_F64):
+            p[name][slots] = f64[:, j]
+        p["channel"][slots] = i32[:, 0]
+        p["loop_mode"][slots] = i32[:, 1]
+        p["lv_off"][slots] = i32[:, 2]
+        p["release_req"][slots] = _NO_RELEASE
+        self._host_active[slots] = True  # batch path is all-audible
+        self._host_voice_blocks[slots] = 0
+        self._slot_exclusive_class[slots] = excl
+        for slot, ck in zip(
+            slots.tolist(), (ck for b in bundles for ck in b["cks"])
+        ):
+            old_ck = self._slot_ck[slot]
+            if old_ck != ck:
+                if old_ck is not None:
+                    try:
+                        self._ck_index[old_ck].remove(slot)
+                    except ValueError:
+                        pass
+                self._slot_ck[slot] = ck
+                self._ck_index.setdefault(ck, []).append(slot)
+        if self._pri_cache is not None:
+            self._pri_cache[slots] = (
+                bundles[0]["pri0"]
+                if one
+                else np.concatenate([b["pri0"] for b in bundles])
+            )
 
     def note_off_all(self, immediate: bool):
         if immediate:
@@ -1230,6 +1493,34 @@ class Synthesizer:
             prev_b = b
             while i < len(normal) and ev_blocks[i] == b:
                 m = normal[i][1]
+                if m.command == 0x90 and m.data2 > 0:
+                    # batch the run of consecutive note-ons at this
+                    # block (chord strikes): bitwise-identical to the
+                    # sequential calls, one vectorized write per plane
+                    run = [(m.channel, m.data1, m.data2)]
+                    i += 1
+                    while i < len(normal) and ev_blocks[i] == b:
+                        m2 = normal[i][1]
+                        if m2.command != 0x90 or m2.data2 <= 0:
+                            break
+                        run.append((m2.channel, m2.data1, m2.data2))
+                        i += 1
+                    self.note_on_batch(run)
+                    continue
+                if m.command == 0x80 or (m.command == 0x90 and m.data2 == 0):
+                    offs = [(m.channel, m.data1)]
+                    i += 1
+                    while i < len(normal) and ev_blocks[i] == b:
+                        m2 = normal[i][1]
+                        if not (
+                            m2.command == 0x80
+                            or (m2.command == 0x90 and m2.data2 == 0)
+                        ) or not (0 <= m2.channel < self._CHANNEL_COUNT):
+                            break
+                        offs.append((m2.channel, m2.data1))
+                        i += 1
+                    self.note_off_batch(offs)
+                    continue
                 self.process_midi_message(m.channel, m.command, m.data1, m.data2)
                 i += 1
             if snap_blocks[-1] == b:

@@ -149,6 +149,133 @@ class TestCacheCoherence:
         for k in ref_ch:
             np.testing.assert_array_equal(ref_ch[k], got_ch[k], err_msg=k)
 
+    def test_batched_note_on_matches_sequential(self, monkeypatch):
+        """Randomized chordal scores: build_schedule with the batched
+        note-on/off paths (default) is bitwise-identical to the
+        sequential loop — planes, snapshot indices, memoized priorities,
+        and the (channel, key) index. Covers free-slot fills, steals
+        from released/decayed voices, duplicate keys inside a burst,
+        multi-channel bursts, and interleaved controller events."""
+        rng = np.random.default_rng(11)
+        events = []
+        t = 0.0
+        for burst in range(6):
+            t += 0.25
+            n = int(rng.integers(8, 28))
+            for j in range(n):
+                ch = int(rng.integers(0, 3))
+                key = int(rng.integers(45, 70))  # duplicates likely
+                events.append((t, 0x90 | ch, key, int(rng.integers(40, 127))))
+            if burst % 2:
+                events.append((t, 0xB0, 0x07, int(rng.integers(40, 127))))
+            for j in range(n // 2):
+                events.append(
+                    (t + 0.12, 0x80 | int(rng.integers(0, 3)),
+                     int(rng.integers(45, 70)), 0)
+                )
+        midi = MidiFile(build_midi(events))
+
+        def run(defeat: bool):
+            synth = _make_synth(poly=16, block=64)
+            if defeat:
+                monkeypatch.setattr(
+                    Synthesizer, "note_on_batch",
+                    lambda self, notes: [
+                        self.note_on(c, k, v) for c, k, v in notes
+                    ],
+                )
+                monkeypatch.setattr(
+                    Synthesizer, "note_off_batch",
+                    lambda self, offs: [
+                        self.note_off(c, k) for c, k in offs
+                    ],
+                )
+            par, ch, idx, _ = synth.build_schedule(midi, t + 0.3)
+            pri = synth._host_priorities().copy()
+            cki = {k: v[:] for k, v in synth._ck_index.items() if v}
+            if defeat:
+                monkeypatch.undo()
+            return par, ch, idx, pri, cki
+
+        g_par, g_ch, g_idx, g_pri, g_cki = run(False)
+        r_par, r_ch, r_idx, r_pri, r_cki = run(True)
+        np.testing.assert_array_equal(r_idx, g_idx)
+        for k in r_par:
+            np.testing.assert_array_equal(r_par[k], g_par[k], err_msg=k)
+        for k in r_ch:
+            np.testing.assert_array_equal(r_ch[k], g_ch[k], err_msg=k)
+        np.testing.assert_array_equal(r_pri, g_pri)
+        assert r_cki == g_cki
+
+    def test_batched_steal_guard_falls_back(self, monkeypatch):
+        """A burst of 2P note-ons in one block: the second P voices must
+        steal slots written moments earlier in the same burst (attack
+        priority >= any candidate), so the batch guard rejects and the
+        sequential path runs — output identical to pure sequential."""
+        events = [
+            (0.0, 0x90, 30 + k, 100) for k in range(16)
+        ]  # poly 8 -> 8 free fills + 8 steals of in-burst writes
+        midi = MidiFile(build_midi(events))
+
+        seen = {"fallback": False}
+        orig_alloc = Synthesizer._allocate_slot
+
+        def spy_alloc(self, params):
+            seen["fallback"] = True
+            return orig_alloc(self, params)
+
+        monkeypatch.setattr(Synthesizer, "_allocate_slot", spy_alloc)
+        g_par, _gc, g_idx, _ = _make_synth(poly=8, block=64).build_schedule(
+            midi, 0.3
+        )
+        assert seen["fallback"], "guard should reject in-burst steals"
+        monkeypatch.setattr(
+            Synthesizer, "note_on_batch",
+            lambda self, notes: [self.note_on(c, k, v) for c, k, v in notes],
+        )
+        r_par, _rc, r_idx, _ = _make_synth(poly=8, block=64).build_schedule(
+            midi, 0.3
+        )
+        np.testing.assert_array_equal(r_idx, g_idx)
+        for k in r_par:
+            np.testing.assert_array_equal(r_par[k], g_par[k], err_msg=k)
+
+    def test_note_off_batch_duplicates_and_misses(self):
+        """Duplicate (channel, key) pairs and unknown keys in one
+        batch: same result as sequential note_offs (idempotent
+        release marks, misses ignored)."""
+        synth = _make_synth(poly=8, block=64)
+        for k in range(4):
+            synth.note_on(0, 60 + k, 100)
+        synth._host_voice_blocks[:] = 7
+        ref = _make_synth(poly=8, block=64)
+        for k in range(4):
+            ref.note_on(0, 60 + k, 100)
+        ref._host_voice_blocks[:] = 7
+        synth.note_off_batch(
+            [(0, 60), (0, 60), (0, 99), (3, 61), (0, 62)]
+        )
+        for c, k in [(0, 60), (0, 60), (0, 99), (3, 61), (0, 62)]:
+            ref.note_off(c, k)
+        np.testing.assert_array_equal(
+            synth._par["release_req"], ref._par["release_req"]
+        )
+        np.testing.assert_array_equal(
+            synth._host_priorities(), ref._host_priorities()
+        )
+
+    def test_batch_pri0_matches_scalar_patch(self):
+        """After a batched chord strike, the memoized priority vector
+        equals a from-scratch recompute (the bundled t=0 priorities
+        must be bitwise what _priority_of would have patched)."""
+        synth = _make_synth(poly=16, block=64)
+        synth._host_priorities()  # materialize the cache
+        synth.note_on_batch([(0, 50 + k, 30 + 6 * k) for k in range(12)])
+        assert synth._pri_cache is not None
+        cached = synth._pri_cache.copy()
+        synth._invalidate_pri()
+        np.testing.assert_array_equal(cached, synth._host_priorities())
+
     def test_indexed_note_off_matches_vector_scan(self, monkeypatch):
         """The (channel, key)->slots index is a pure lookup structure:
         note_off through it must mutate exactly what the original
