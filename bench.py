@@ -241,7 +241,10 @@ def main():
     total = int(seconds * 44100)
 
     wall_f32, wall_i16, stages = _measure_font(False, seconds)
-    lg_f32, lg_i16, lg_stages = _measure_font(True, seconds, n_chain=20)
+    # n_chain amortizes the one dispatch round-trip the chained timing
+    # pays: at 20 links a bad-weather 30 ms RTT still adds 1.5 ms/link
+    # (~40% on a ~3 ms render); 60 links keeps the pollution under 2%.
+    lg_f32, lg_i16, lg_stages = _measure_font(True, seconds, n_chain=60)
 
     # long-render stage: 60 s through the same large font — the link
     # round-trip amortizes over a realistic piece length, so this is
@@ -255,14 +258,24 @@ def main():
     long_s = 60.0
     synth_lg, _ = build_workload(large_font=True)
     midi_long = MidiFile(build_midi_bytes(repeats=15))
-    out = render_midi_offline(synth_lg, midi_long, long_s)  # warm
+    out = render_midi_offline(synth_lg, midi_long, long_s)  # warm f32
     assert np.isfinite(out).all() and np.abs(out).max() > 0.01
+    render_midi_offline(synth_lg, midi_long, long_s, wire="int16")  # warm wire
     longs = []
-    for _ in range(3):
+    for _ in range(6):  # min-of-6: the dev tunnel's throughput swings
         t0 = time.perf_counter()
         render_midi_offline(synth_lg, midi_long, long_s, wire="int16")
         longs.append(time.perf_counter() - t0)
     long_wall = min(longs)
+    # long-render decomposition: schedule (host), payload bytes, and the
+    # link rate implied by the wall after schedule + device compute —
+    # the e2e number is link-weather-bound, and this makes a bad-weather
+    # capture self-documenting.
+    t0 = time.perf_counter()
+    synth_lg.build_schedule(midi_long, long_s)
+    long_sched_ms = 1e3 * (time.perf_counter() - t0)
+    synth_lg.reset()
+    long_bytes = int(long_s * 44100) * 2 * 2  # stereo int16
 
     # Headline: end-to-end realtime factor rendering a realistic piece
     # length (60 s) through the realistic-size font, shipping DAC-ready
@@ -285,6 +298,17 @@ def main():
                     "wall_s": round(long_wall, 3),
                     "workload": "128-voice SoundFont piece, 60 s @ 44.1 kHz, block 1024, ~1M-sample multizone font (windowed-DMA oscillator), int16 wire, pipelined segment D2H",
                     "msamples_per_s": round(long_s * 44100 / long_wall / 1e6, 1),
+                    "long_stages": {
+                        "schedule_host_ms": round(long_sched_ms, 1),
+                        "wire_mb": round(long_bytes / 1e6, 1),
+                        "implied_link_mb_s": round(
+                            long_bytes
+                            / max(long_wall - long_sched_ms / 1e3, 1e-3)
+                            / 1e6,
+                            1,
+                        ),
+                        "walls_ms": [round(w * 1e3, 1) for w in longs],
+                    },
                     "backend": jax.default_backend(),
                     "chord_3s_small_font": {
                         "wall_s": round(wall_i16, 4),
