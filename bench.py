@@ -271,10 +271,13 @@ def main():
     # link rate implied by the wall after schedule + device compute —
     # the e2e number is link-weather-bound, and this makes a bad-weather
     # capture self-documenting.
-    t0 = time.perf_counter()
-    synth_lg.build_schedule(midi_long, long_s)
-    long_sched_ms = 1e3 * (time.perf_counter() - t0)
-    synth_lg.reset()
+    sched_runs = []
+    for _ in range(3):  # min-of-3: one-shot host timings are noisy
+        t0 = time.perf_counter()
+        synth_lg.build_schedule(midi_long, long_s)
+        sched_runs.append(time.perf_counter() - t0)
+        synth_lg.reset()
+    long_sched_ms = 1e3 * min(sched_runs)
     long_bytes = int(long_s * 44100) * 2 * 2  # stereo int16
 
     # Headline: end-to-end realtime factor rendering a realistic piece
