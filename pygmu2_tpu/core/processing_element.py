@@ -174,6 +174,28 @@ class ProcessingElement(ABC):
         """
         return False
 
+    def state_affine(self) -> bool:
+        """True ⇒ holding this block's inputs fixed, the map
+        ``state → (output, new_state)`` is AFFINE in the carried state,
+        the init state is the zero vector, every user-state leaf is
+        floating point, and the trace does not branch on the ``fresh``
+        flag beyond selecting the (zero) init value.
+
+        Consumed by ``parallel.render_time_sharded_affine``: affine state
+        chains admit an exact parallel decomposition — each device
+        measures its span's state-transition map by rendering a basis of
+        initial states (the run-time generalization of
+        ``ops/linrec.py``'s per-sample affine composition), the tiny
+        (D×D) span maps are composed across the mesh in one collective,
+        and outputs are corrected by linearity. True for linear filters
+        (Biquad/SVF — even with swept coefficients, which come from
+        parameter subgraphs, not from the filter state) and FIR
+        histories (ConvolvePE). Nonlinear state (tanh ladders, envelope
+        followers with asymmetric branches, phase accumulators feeding
+        trig) must stay False — the default.
+        """
+        return False
+
     def channel_count(self) -> int | None:
         """Fixed output channel count, or None for pass-through."""
         return None

@@ -39,6 +39,11 @@ class ConvolvePE(ProcessingElement):
     def state_decays(self) -> bool:
         return True  # finite FIR history: halo >= len(fir) - 1 is exact
 
+    def state_affine(self) -> bool:
+        # The carried input history enters the convolution linearly and
+        # the next history is a slice of [hist; x] — affine, zero init.
+        return True
+
     def __init__(
         self,
         src: ProcessingElement,

