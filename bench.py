@@ -246,39 +246,126 @@ def main():
     # (~40% on a ~3 ms render); 60 links keeps the pollution under 2%.
     lg_f32, lg_i16, lg_stages = _measure_font(True, seconds, n_chain=60)
 
-    # long-render stage: 60 s through the same large font — the link
-    # round-trip amortizes over a realistic piece length, so this is
-    # the e2e number for actual renders (the 3 s headline pays one RTT
-    # for 3 s of audio and is tunnel-weather-bound).
+    # long-render stage: 60 s through the same large font, STREAMED —
+    # the host event simulation for segment k+1 runs while the device
+    # renders segment k (render_midi_offline_streamed), so the schedule
+    # pass is off the critical path, and the link round-trip amortizes
+    # over a realistic piece length. This is the e2e number for actual
+    # renders (the 3 s headline pays one RTT for 3 s of audio and is
+    # tunnel-weather-bound).
+    import jax.numpy as jnp
+
     import numpy as np
 
     from pygmu2_tpu.soundfont import MidiFile
-    from pygmu2_tpu.soundfont.offline import render_midi_offline
+    from pygmu2_tpu.soundfont.offline import (
+        render_midi_offline,
+        render_midi_offline_streamed,
+    )
 
     long_s = 60.0
     synth_lg, _ = build_workload(large_font=True)
     midi_long = MidiFile(build_midi_bytes(repeats=15))
-    out = render_midi_offline(synth_lg, midi_long, long_s)  # warm f32
-    assert np.isfinite(out).all() and np.abs(out).max() > 0.01
-    render_midi_offline(synth_lg, midi_long, long_s, wire="int16")  # warm wire
+    # warm (compile) the int16 streamed path only — each extra wire
+    # variant is another multi-minute remote kernel compile on first run
+    out = render_midi_offline_streamed(
+        synth_lg, midi_long, long_s, wire="int16"
+    )
+    assert np.abs(out.astype(np.float32)).max() > 300  # int16 scale
     longs = []
     for _ in range(6):  # min-of-6: the dev tunnel's throughput swings
         t0 = time.perf_counter()
-        render_midi_offline(synth_lg, midi_long, long_s, wire="int16")
+        render_midi_offline_streamed(synth_lg, midi_long, long_s, wire="int16")
         longs.append(time.perf_counter() - t0)
     long_wall = min(longs)
-    # long-render decomposition: schedule (host), payload bytes, and the
-    # link rate implied by the wall after schedule + device compute —
-    # the e2e number is link-weather-bound, and this makes a bad-weather
-    # capture self-documenting.
-    sched_runs = []
+    # long-render decomposition. All host timings are WARM minima (the
+    # schedule was already built by the render loops above), so they can
+    # understate cold costs slightly; they are diagnostics, not the
+    # headline. schedule_host_ms: the full event simulation (min-of-3).
+    # first_seg_schedule_ms: host time until the first segment is ready
+    # to dispatch — under streaming this is the only schedule time NOT
+    # hidden behind device compute (per-segment sim ~1 ms < per-segment
+    # device ~3 ms keeps the rest overlapped).
+    sched_runs, first_runs = [], []
     for _ in range(3):  # min-of-3: one-shot host timings are noisy
         t0 = time.perf_counter()
-        synth_lg.build_schedule(midi_long, long_s)
+        gen = synth_lg.build_schedule_segments(midi_long, long_s, 256)
+        next(gen)
+        first_runs.append(time.perf_counter() - t0)
+        for _seg in gen:
+            pass
         sched_runs.append(time.perf_counter() - t0)
         synth_lg.reset()
     long_sched_ms = 1e3 * min(sched_runs)
+    first_seg_ms = 1e3 * min(first_runs)
     long_bytes = int(long_s * 44100) * 2 * 2  # stereo int16
+
+    # device-compute term: control+rows prep and the fused audio kernel
+    # over the whole 60 s piece, each amortized over a chained jitted
+    # loop (per-call dispatch pays the tunnel RTT; a single chained
+    # dispatch pays exactly one — OPTIMIZING.md rule 1b: the chain
+    # result is pulled to host via float()).
+    from pygmu2_tpu.soundfont import offline as _off2
+
+    par_np, ch_np, snap_idx_l, nb_l = synth_lg.build_schedule(midi_long, long_s)
+    packed_l = _off2._pack_schedule_np(par_np, ch_np)
+    wave_ext_l, win_w_l = _off2._window_args(synth_lg, par_np, ch_np)
+    S_l, P_l = packed_l[0].shape[1], packed_l[0].shape[2]
+    flat_l = jnp.asarray(
+        _off2._pack_flat(*packed_l[:5], snap_idx_l)
+    )  # device-resident for chained timing
+    wave_l = wave_ext_l if win_w_l is not None else synth_lg._wave
+    l_ext_l = int(wave_ext_l.shape[0]) if win_w_l is not None else 0
+    prep_args = (
+        synth_lg._wave, synth_lg.block_size, float(synth_lg.master_volume),
+        packed_l[5], int(synth_lg._minimum_voice_duration),
+        float(synth_lg.sample_rate), S_l, P_l, int(nb_l), win_w_l, l_ext_l,
+    )
+    n_dev_chain = 6
+
+    @jax.jit
+    def _chain_prep(f):
+        def body(_k, acc):
+            rows = _off2._prep_rows_flat(f + acc * 1e-30, *prep_args)
+            dep = sum(v.astype(jnp.float32).sum() for v in rows.values())
+            return acc + dep * 1e-30
+        return jax.lax.fori_loop(0, n_dev_chain, body, jnp.float32(0.0))
+
+    float(_chain_prep(flat_l))  # compile + warm
+    t0 = time.perf_counter()
+    float(_chain_prep(flat_l))
+    prep_ms = (time.perf_counter() - t0) / n_dev_chain * 1e3
+
+    rows_l = _off2._prep_rows_flat_jit(flat_l, *prep_args)
+    rows_l = {k: jnp.asarray(v) for k, v in rows_l.items()}
+
+    @jax.jit
+    def _chain_audio(rws):
+        def body(_k, acc):
+            st = jnp.zeros((4, P_l), jnp.float32)
+            r2 = {
+                k: (v + acc * 1e-30 if v.dtype == jnp.float32 else v)
+                for k, v in rws.items()
+            }
+            o, _st = _off2._render_rows_seg(
+                r2, st, jnp.int32(0), wave_l, synth_lg.block_size,
+                int(nb_l), win_w_l, "int16", False,
+            )
+            # the LAST sample depends on every kernel chunk through the
+            # carried filter state — nothing can be dead-coded
+            return acc + o[-1, -1].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, n_dev_chain, body, jnp.float32(0.0))
+
+    float(_chain_audio(rows_l))  # compile + warm
+    t0 = time.perf_counter()
+    float(_chain_audio(rows_l))
+    audio_ms = (time.perf_counter() - t0) / n_dev_chain * 1e3
+    synth_lg.reset()
+    device_ms = prep_ms + audio_ms
+    # host-attached estimate: on a PCIe-attached chip the streamed wall
+    # is the unhidden first-segment schedule + device compute (D2H at
+    # >10 GB/s and ~30 µs local dispatches are noise at this scale)
+    host_attached_ms = first_seg_ms + device_ms
 
     # Headline: end-to-end realtime factor rendering a realistic piece
     # length (60 s) through the realistic-size font, shipping DAC-ready
@@ -297,16 +384,31 @@ def main():
                 "value": round(rtf, 1),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 12.37, 2),
+                # chip-speed ground truth and the link-normalized
+                # host-attached estimate, next to the weather-dependent
+                # e2e value (VERDICT r3 item 2): the e2e wall through
+                # the dev tunnel is bounded by the link stream, which a
+                # production PCIe host doesn't pay.
+                "device_only_rtf_60s": round(long_s * 1e3 / device_ms, 0),
+                "host_attached_rtf_est": round(
+                    long_s * 1e3 / host_attached_ms, 0
+                ),
                 "detail": {
                     "wall_s": round(long_wall, 3),
-                    "workload": "128-voice SoundFont piece, 60 s @ 44.1 kHz, block 1024, ~1M-sample multizone font (windowed-DMA oscillator), int16 wire, pipelined segment D2H",
+                    "workload": "128-voice SoundFont piece, 60 s @ 44.1 kHz, block 1024, ~1M-sample multizone font (windowed-DMA oscillator), int16 wire, STREAMED: host schedule sim pipelined with per-segment dispatch + async D2H",
                     "msamples_per_s": round(long_s * 44100 / long_wall / 1e6, 1),
                     "long_stages": {
                         "schedule_host_ms": round(long_sched_ms, 1),
+                        "schedule_not_hidden_ms": round(first_seg_ms, 2),
+                        "device_prep_ms": round(prep_ms, 1),
+                        "device_audio_ms": round(audio_ms, 1),
+                        "device_compute_ms": round(device_ms, 1),
+                        "host_attached_ms_est": round(host_attached_ms, 1),
+                        "timing_note": "host timings are warm minima (min-of-3); device terms are chained-dispatch amortized (min over one n=6 chain) with float() materialization per OPTIMIZING.md rule 1b",
                         "wire_mb": round(long_bytes / 1e6, 1),
                         "implied_link_mb_s": round(
                             long_bytes
-                            / max(long_wall - long_sched_ms / 1e3, 1e-3)
+                            / max(long_wall - first_seg_ms / 1e3, 1e-3)
                             / 1e6,
                             1,
                         ),

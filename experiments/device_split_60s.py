@@ -45,6 +45,12 @@ def main():
         S, P, int(n_blocks), win_w, l_ext,
     )
 
+    # Rule 1b (OPTIMIZING.md): until the process performs one D2H,
+    # block_until_ready returns on ENQUEUE and every timing is fiction.
+    # Pull a scalar to host first, and materialize every timed result
+    # with float(...) inside the timed region.
+    float(jnp.sum(flat[:8]))
+
     # ---- (a) control + rows prep, chained ----
     @jax.jit
     def chain_prep(f):
@@ -54,14 +60,14 @@ def main():
             # the prep (a single-element dependency lets it slice the
             # whole pass down to one lane)
             dep = sum(
-                v[-1, -1].astype(jnp.float32) for v in rows.values()
+                v.astype(jnp.float32).sum() for v in rows.values()
             )
             return acc + dep * 1e-30
         return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0.0))
 
-    jax.block_until_ready(chain_prep(flat))
+    float(chain_prep(flat))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(chain_prep(flat))
+    float(chain_prep(flat))
     prep_ms = (time.perf_counter() - t0) / n_chain * 1e3
 
     # ---- (b) fused audio kernel over the whole piece, chained ----
@@ -83,9 +89,9 @@ def main():
             return acc + out[-1, -1].astype(jnp.float32) * 1e-30
         return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0.0))
 
-    jax.block_until_ready(chain_audio(rows))
+    float(chain_audio(rows))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(chain_audio(rows))
+    float(chain_audio(rows))
     audio_ms = (time.perf_counter() - t0) / n_chain * 1e3
 
     total = prep_ms + audio_ms

@@ -44,6 +44,19 @@ def measure(force_windowed: bool):
         wave_ext, win_w = _off._window_args(synth, par_np, ch_np)
         print(f"force_windowed={force_windowed}: win_w={win_w}, "
               f"wave_ext={None if wave_ext is None else wave_ext.shape}")
+        # fail loudly if the measurement is mis-routed: _window_args can
+        # still return (None, None) (ratio bound past the bucket, or a
+        # non-TPU backend), in which case the run below would time the
+        # XLA fallback while labeled "windowed" — and vice versa
+        if force_windowed:
+            assert win_w is not None, (
+                "force_windowed run fell back to the XLA path — "
+                "measurement would be mislabeled"
+            )
+        else:
+            assert win_w is None and wave_ext is None, (
+                "resident run unexpectedly routed to the windowed kernel"
+            )
         packed = _off._pack_schedule(par_np, ch_np)
         si = jnp.asarray(snap_idx)
 

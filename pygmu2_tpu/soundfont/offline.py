@@ -1161,12 +1161,24 @@ _render_fused_flat_jit = jax.jit(
 )
 
 
-def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, sr):
+def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, sr,
+                    b0=None, carry=None, with_carry=False):
     """jnp mirror of _compute_control_vectorized (same f32 arithmetic).
 
     All (B, P) sequential chains become cummax/cumsum along the block
     axis; the only lax.scan (the clamped cutoff smoother) is traced only
     when the soundfont actually modulates cutoff (static flag).
+
+    Streaming (``carry`` is not None): renders blocks [b0, b0+B) of a
+    longer timeline. Every scan takes the previous segment's last row as
+    a prepended carry element, so a piece can be rendered as a sequence
+    of segments whose control output matches the monolithic pass (the
+    int scans are exact; the f64 advance cumsum differs only in
+    associativity order, ~1e-12 relative). ``with_carry`` additionally
+    returns the (P,)-shaped carry pytree for the next segment
+    (:func:`_stream_carry_init` builds the stream-initial one). The
+    monolithic path (carry None) is bit-identical to the pre-streaming
+    code: no rows are prepended.
     """
     mode3_any, dynamic_any, i32_mm_ok = flags
     B = snap_idx.shape[0]
@@ -1226,8 +1238,11 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
     chan = pari["channel"]
     par["release_req"] = pari["release_req"]  # int compare below
     # int32 throughout: block indices / voice times fit comfortably and
-    # int64 arithmetic is software-emulated on TPU.
-    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # int64 arithmetic is software-emulated on TPU. b_idx is GLOBAL
+    # under streaming so carried scans stay consistent across segments.
+    C = carry
+    base_b = jnp.int32(0) if b0 is None else jnp.asarray(b0, jnp.int32)
+    b_idx = (base_b + jnp.arange(B, dtype=jnp.int32))[:, None]
 
     n_midi_ch = cf32.shape[2]
 
@@ -1240,55 +1255,90 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
             acc = jnp.where(chan == j, c[:, j : j + 1], acc)
         return acc
 
-    def cscan(x):  # inclusive cumsum without the reduce-window lowering
-        return jax.lax.associative_scan(jnp.add, x, axis=0)
+    def cscan(x, c=None):  # inclusive cumsum without the reduce-window lowering
+        if c is None:
+            return jax.lax.associative_scan(jnp.add, x, axis=0)
+        y = jax.lax.associative_scan(
+            jnp.add, jnp.concatenate([c[None].astype(x.dtype), x], 0), axis=0
+        )
+        return y[1:]
 
-    def cmax(x):
-        return jax.lax.associative_scan(jnp.maximum, x, axis=0)
+    def cmax(x, c=None):
+        if c is None:
+            return jax.lax.associative_scan(jnp.maximum, x, axis=0)
+        y = jax.lax.associative_scan(
+            jnp.maximum,
+            jnp.concatenate([c[None].astype(x.dtype), x], 0),
+            axis=0,
+        )
+        return y[1:]
 
-    def ffill(values, marked):
+    def ffill(values, marked, c=None):
         """Forward-fill: at each row, the most recent `values` row where
         `marked` was True (rows before the first mark keep row 0's
         value masked by callers via the matching validity logic).
-        Replaces take-along-axis row gathers (scalar loops on TPU)."""
+        Replaces take-along-axis row gathers (scalar loops on TPU).
+        ``c``: carried (value, marked) row prepended under streaming.
+        Returns (values, marked) so callers can extract scan carries."""
 
         def combine(a, b):
             va, ma = a
             vb, mb = b
             return jnp.where(mb, vb, va), ma | mb
 
-        v, _ = jax.lax.associative_scan(combine, (values, marked), axis=0)
-        return v
+        if c is not None:
+            values = jnp.concatenate([c[0][None].astype(values.dtype), values], 0)
+            marked = jnp.concatenate([c[1][None], marked], 0)
+        v, m = jax.lax.associative_scan(combine, (values, marked), axis=0)
+        if c is not None:
+            v, m = v[1:], m[1:]
+        return v, m
+
+    _true_p = jnp.ones((P,), bool)
 
     epoch = pari["epoch"]
-    fresh = jnp.concatenate(
-        [jnp.ones((1, P), bool), epoch[1:] != epoch[:-1]], axis=0
+    if C is None:
+        fresh = jnp.concatenate(
+            [jnp.ones((1, P), bool), epoch[1:] != epoch[:-1]], axis=0
+        )
+    else:
+        fresh = epoch != jnp.concatenate([C["epoch"][None], epoch[:-1]], 0)
+    seg_start = cmax(
+        jnp.where(fresh, b_idx, -1), None if C is None else C["seg_start"]
     )
-    seg_start = cmax(jnp.where(fresh, b_idx, -1))
     vt = (b_idx - seg_start) * N
     # divide in f64 then round, matching the numpy control pass bit-for-bit
     t_now = (vt.astype(jnp.float64) / sr).astype(jnp.float32)
     t_end = ((vt + N).astype(jnp.float64) / sr).astype(jnp.float32)
 
-    def seg_gather(arr):
-        # value at each row's segment start (forward-fill from fresh rows)
-        return ffill(arr, fresh)
+    def seg_gather(arr, c_v=None):
+        # value at each row's segment start (forward-fill from fresh
+        # rows). Under streaming the carried mark is always True: the
+        # stream-initial carry makes every voice fresh at block 0, so
+        # by segment 2 every voice has a fresh row in its history.
+        c = None if (C is None or c_v is None) else (c_v, _true_p)
+        return ffill(arr, fresh, c)[0]
 
     hold = chv("ch_hold")
     eligible = (par["release_req"] <= vt) & (vt >= min_dur) & ~hold
-    elig_cs = cscan(eligible.astype(jnp.int32))
-    excl = jnp.concatenate([jnp.zeros((1, P), elig_cs.dtype), elig_cs[:-1]], 0)
-    elig_in_seg = elig_cs - seg_gather(excl)
+    elig_cs = cscan(
+        eligible.astype(jnp.int32), None if C is None else C["elig_cs"]
+    )
+    excl_first = (
+        jnp.zeros((1, P), elig_cs.dtype) if C is None else C["elig_cs"][None]
+    )
+    excl = jnp.concatenate([excl_first, elig_cs[:-1]], 0)
+    sg_excl = seg_gather(excl, None if C is None else C["sg_excl"])
+    elig_in_seg = elig_cs - sg_excl
     released = elig_in_seg > 0
     first_elig = eligible & (elig_in_seg == 1)
     marker_row = jnp.where(first_elig, b_idx, -1)
-    marker_cm = cmax(marker_row)
+    marker_cm = cmax(marker_row, None if C is None else C["marker_cm"])
     rel_valid = marker_cm >= seg_start
-    rel_t = jnp.where(
-        released & rel_valid,
-        ffill(t_now, first_elig),
-        0.0,
-    ).astype(jnp.float32)
+    relt_f, relt_m = ffill(
+        t_now, first_elig, None if C is None else (C["relt_v"], C["relt_m"])
+    )
+    rel_t = jnp.where(released & rel_valid, relt_f, 0.0).astype(jnp.float32)
     released = released & rel_valid
 
     rel_vol = _vol_env_np(rel_t, par, False, rel_t, 0.0, xp).astype(jnp.float32)
@@ -1314,13 +1364,21 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
         (pari["loop_mode"] == int(LoopMode.LOOP_UNTIL_NOTE_OFF)) & ~released
     )
     advance = N * ratio
-    adv_cs = cscan(advance)
-    adv_excl = jnp.concatenate([jnp.zeros((1, P), adv_cs.dtype), adv_cs[:-1]], 0)
-    base = par64["smp_start"] + (adv_excl - seg_gather(adv_excl))
+    adv_cs = cscan(advance, None if C is None else C["adv_cs"])
+    adv_first = (
+        jnp.zeros((1, P), adv_cs.dtype) if C is None else C["adv_cs"][None]
+    )
+    adv_excl = jnp.concatenate([adv_first, adv_cs[:-1]], 0)
+    sg_adv = seg_gather(adv_excl, None if C is None else C["sg_adv"])
+    base = par64["smp_start"] + (adv_excl - sg_adv)
 
     loop_len = jnp.maximum(par64["loop_end"] - par64["loop_start"], 1.0)
+    bar_f = bar_m = None
     if mode3_any:
-        base_at_rel = ffill(base, first_elig)
+        bar_f, bar_m = ffill(
+            base, first_elig, None if C is None else (C["bar_v"], C["bar_m"])
+        )
+        base_at_rel = bar_f
         wrapped_at_rel = (
             jnp.mod(base_at_rel - par64["loop_start"], loop_len)
             + par64["loop_start"]
@@ -1349,11 +1407,13 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
             ).astype(jnp.float32)
             return prev, prev
 
+        smc0 = par["cutoff"][0] if C is None else C["cutoff"]
         _, smc = jax.lax.scan(
-            body, par["cutoff"][0], (fresh, par["cutoff"], dynamic, new_cut)
+            body, smc0, (fresh, par["cutoff"], dynamic, new_cut)
         )
         cutoff = jnp.where(dynamic, smc, par["cutoff"])
     else:
+        smc = None
         cutoff = par["cutoff"]
     flt_on = cutoff < 0.499 * sr
     q = res - rpo / (1.0 + 6.0 * (res - 1.0))
@@ -1386,17 +1446,53 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
         0.0,
         jnp.where(angle >= np.float32(np.pi / 2), mix_gain, mix_gain * jnp.sin(angle)),
     ).astype(jnp.float32)
-    pgl = jnp.where(fresh, gl, jnp.roll(gl, 1, axis=0))
-    pgr = jnp.where(fresh, gr, jnp.roll(gr, 1, axis=0))
+    if C is None:
+        pgl = jnp.where(fresh, gl, jnp.roll(gl, 1, axis=0))
+        pgr = jnp.where(fresh, gr, jnp.roll(gr, 1, axis=0))
+    else:
+        pgl = jnp.where(fresh, gl, jnp.concatenate([C["gl"][None], gl[:-1]], 0))
+        pgr = jnp.where(fresh, gr, jnp.concatenate([C["gr"][None], gr[:-1]], 0))
 
     active0 = par["note_gain"] >= NON_AUDIBLE
     dead = dead_vol | dead_osc
-    dead_cs = cscan(dead.astype(jnp.int32))
-    dead_excl = jnp.concatenate([jnp.zeros((1, P), dead_cs.dtype), dead_cs[:-1]], 0)
-    dead_before = (dead_excl - seg_gather(dead_excl)) > 0
+    dead_cs = cscan(
+        dead.astype(jnp.int32), None if C is None else C["dead_cs"]
+    )
+    dead_first = (
+        jnp.zeros((1, P), dead_cs.dtype) if C is None else C["dead_cs"][None]
+    )
+    dead_excl = jnp.concatenate([dead_first, dead_cs[:-1]], 0)
+    sg_dead = seg_gather(dead_excl, None if C is None else C["sg_dead"])
+    dead_before = (dead_excl - sg_dead) > 0
     alive = active0 & ~dead_before & ~dead
 
-    return {
+    if with_carry:
+        carry_out = {
+            "epoch": epoch[-1],
+            "seg_start": seg_start[-1],
+            "elig_cs": elig_cs[-1],
+            "sg_excl": sg_excl[-1],
+            "marker_cm": marker_cm[-1],
+            "relt_v": relt_f[-1],
+            "relt_m": relt_m[-1],
+            "adv_cs": adv_cs[-1],
+            "sg_adv": sg_adv[-1],
+            "bar_v": (
+                bar_f[-1] if mode3_any else jnp.zeros((P,), base.dtype)
+            ),
+            "bar_m": (
+                bar_m[-1] if mode3_any else jnp.zeros((P,), bool)
+            ),
+            "dead_cs": dead_cs[-1],
+            "sg_dead": sg_dead[-1],
+            "cutoff": (smc if dynamic_any else cutoff)[-1],
+            "gl": gl[-1],
+            "gr": gr[-1],
+        }
+    else:
+        carry_out = None
+
+    ctrl = {
         "ratio": ratio.astype(jnp.float32),
         "base_pos": base,
         "looping": looping,
@@ -1415,6 +1511,34 @@ def _control_device(pf32, pi32, pf64, cf32, chold, snap_idx, N, flags, min_dur, 
         "loop_len": loop_len,
         "smp_end": par64["smp_end"],
         "lv_off": pari["lv_off"],
+    }
+    if with_carry:
+        return ctrl, carry_out
+    return ctrl
+
+
+def _stream_carry_init(P: int):
+    """Stream-initial carry for :func:`_control_device`: epoch -1 makes
+    every voice fresh at the stream's first block (matching the
+    monolithic pass's unconditional fresh row 0); everything else is the
+    neutral element of its scan."""
+    return {
+        "epoch": np.full((P,), -1, np.int32),
+        "seg_start": np.full((P,), -1, np.int32),
+        "elig_cs": np.zeros((P,), np.int32),
+        "sg_excl": np.zeros((P,), np.int32),
+        "marker_cm": np.full((P,), -1, np.int32),
+        "relt_v": np.zeros((P,), np.float32),
+        "relt_m": np.zeros((P,), bool),
+        "adv_cs": np.zeros((P,), np.float64),
+        "sg_adv": np.zeros((P,), np.float64),
+        "bar_v": np.zeros((P,), np.float64),
+        "bar_m": np.zeros((P,), bool),
+        "dead_cs": np.zeros((P,), np.int32),
+        "sg_dead": np.zeros((P,), np.int32),
+        "cutoff": np.zeros((P,), np.float32),
+        "gl": np.zeros((P,), np.float32),
+        "gr": np.zeros((P,), np.float32),
     }
 
 
@@ -1584,3 +1708,163 @@ def _render_pipelined(synth, flat, flags, S, P, n_blocks, wave_ext, win_w,
             futs.append(pool.submit(np.asarray, out))
             b0 += sb
         return np.concatenate([f.result() for f in futs])
+
+
+# ---- streamed offline render (schedule/compute overlap) ------------------
+
+
+def _pad_snap_stacks(pf32, pi32, pf64, cf32, chold, S_pad):
+    """Pad packed snapshot stacks to ``S_pad`` rows by repeating the
+    last snapshot. ``snap_idx`` never references the pad rows, and the
+    one-hot expansion multiplies them by exactly zero, so padding is
+    free of numeric effect — it only pins the compiled shape."""
+    S = pf32.shape[1]
+    if S == S_pad:
+        return pf32, pi32, pf64, cf32, chold
+
+    def pad1(a):
+        return np.concatenate(
+            [a, np.repeat(a[:, -1:], S_pad - S, axis=1)], axis=1
+        )
+
+    chold_p = np.concatenate(
+        [chold, np.repeat(chold[-1:], S_pad - S, axis=0)], axis=0
+    )
+    return pad1(pf32), pad1(pi32), pad1(pf64), pad1(cf32), chold_p
+
+
+def _render_seg_stream(flat, kstate, carry, b0, wave, N, master, flags,
+                       min_dur, sr, S, P, B, win_w, l_ext, wire, interpret):
+    """One streamed segment: device control pass with carried scan state
+    plus the fused kernel with its carried (4, P) filter state. Returns
+    (wire-format audio, kernel state, control carry)."""
+    planes = _unpack_flat(flat, S, P, B)
+    ctrl, carry_out = _control_device(
+        *planes, N, flags, min_dur, sr, b0=b0, carry=carry, with_carry=True
+    )
+    gains = _gain_rows(ctrl, master)
+    if win_w is None:
+        rows = dict(gains, **_osc_rows(ctrl, wave))
+    else:
+        rows = dict(gains, **window_osc_rows(ctrl, win_w, int(l_ext)))
+    out, kstate = _render_rows_seg(
+        rows, kstate, jnp.int32(0), wave, N, B, win_w, wire, interpret
+    )
+    return out, kstate, carry_out
+
+
+_render_seg_stream_jit = jax.jit(
+    _render_seg_stream,
+    static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16),
+)
+
+
+def render_midi_offline_streamed(synth, midi_file, seconds: float,
+                                 wire: str = "f32",
+                                 seg_blocks: int | None = None) -> np.ndarray:
+    """Schedule-pipelined offline render.
+
+    The host event simulation for segment k+1 runs while the device
+    renders segment k (and finished segments stream D2H on a worker
+    thread), so on a host-attached chip the schedule pass is hidden
+    behind device compute — only the FIRST segment's simulation sits on
+    the critical path. Per-segment continuation is exact: the control
+    pass threads its scan carries (:func:`_control_device` streaming
+    mode) and the fused kernel its (4, P) filter state; parity vs the
+    monolithic :func:`render_midi_offline` is ≤1e-5 (the f64 advance
+    cumsum regroups across segment boundaries, nothing else changes).
+
+    Falls back to the monolithic path when the schedule can't ride a
+    fused Pallas kernel (non-TPU backend, odd block/polyphony sizes),
+    when the piece fits one segment anyway, or — detected mid-stream —
+    when a segment's pitch ratios exceed the window provisioning chosen
+    from segment 1.
+    """
+    from pygmu2_tpu.soundfont.filter_pallas import (
+        OSC_KERNEL_MAX_T,
+        OSC_KERNEL_MAX_WAVE,
+        WINDOW_KERNEL_MAX_T,
+    )
+
+    N = synth.block_size
+    sr = float(synth.sample_rate)
+    total = int(round(seconds * sr))
+    n_blocks = int(math.ceil(seconds * sr / N))
+    P = int(synth._maximum_polyphony)
+    large = synth._wave.shape[0] > OSC_KERNEL_MAX_WAVE
+    max_t = WINDOW_KERNEL_MAX_T if large else OSC_KERNEL_MAX_T
+    if seg_blocks is None:
+        seg_blocks = max(1, max_t // N)
+    kernel_ok = (
+        (jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET)
+        and N % 128 == 0
+        and P % 128 == 0
+    )
+    if not kernel_ok or n_blocks <= seg_blocks:
+        return render_midi_offline(synth, midi_file, seconds, wire=wire)
+
+    if large:
+        # complete the loop-view table BEFORE the first kernel compile:
+        # a mid-stream wave_ext growth would change the operand shape
+        synth.register_font_loop_views()
+        wave_dev = synth.wave_ext()
+        l_ext = int(wave_dev.shape[0])
+    else:
+        wave_dev = synth._wave
+        l_ext = 0
+
+    interp = bool(FORCE_PALLAS_INTERPRET)
+    master = float(synth.master_volume)
+    min_dur = int(synth._minimum_voice_duration)
+    kstate = np.zeros((4, P), np.float32)
+    carry = _stream_carry_init(P)
+    win_w = None  # chosen from segment 1's pitch-ratio bound when large
+    b0 = 0
+    gen = synth.build_schedule_segments(midi_file, seconds, seg_blocks)
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        futs = []
+        for par_np, ch_np, snap_idx, nb in gen:
+            if large:
+                bound = _ratio_bound(synth, par_np, ch_np)
+                if win_w is None:
+                    bucket = 2
+                    while bucket < bound:
+                        bucket *= 2
+                    if bucket > WINDOW_RATIO_BUCKET:
+                        return render_midi_offline(
+                            synth, midi_file, seconds, wire=wire
+                        )
+                    win_w = window_w(N, bucket)
+                elif bound > bucket:
+                    # a later segment outgrew segment 1's provisioning:
+                    # abandon the stream, re-render monolithically
+                    # (render_midi_offline resets and re-simulates)
+                    return render_midi_offline(
+                        synth, midi_file, seconds, wire=wire
+                    )
+            pf32, pi32, pf64, cf32, chold, flags = _pack_schedule_np(
+                par_np, ch_np
+            )
+            if nb < seg_blocks:  # last segment: pad blocks, crop below
+                snap_idx = np.concatenate(
+                    [snap_idx, np.repeat(snap_idx[-1:], seg_blocks - nb)]
+                )
+            S = pf32.shape[1]
+            S_pad = 4
+            while S_pad < S:
+                S_pad *= 2
+            pf32, pi32, pf64, cf32, chold = _pad_snap_stacks(
+                pf32, pi32, pf64, cf32, chold, S_pad
+            )
+            flat = _pack_flat(pf32, pi32, pf64, cf32, chold, snap_idx)
+            out, kstate, carry = _render_seg_stream_jit(
+                flat, kstate, carry, np.int32(b0), wave_dev, N, master,
+                flags, min_dur, sr, S_pad, P, seg_blocks, win_w, l_ext,
+                wire, interp,
+            )
+            out.copy_to_host_async()
+            futs.append(pool.submit(np.asarray, out))
+            b0 += nb
+        out_np = np.concatenate([f.result() for f in futs])
+    synth.reset()
+    return out_np[:total]

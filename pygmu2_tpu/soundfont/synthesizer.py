@@ -1051,6 +1051,23 @@ class Synthesizer:
             self._lv_map[key] = off
         return off
 
+    def register_font_loop_views(self) -> None:
+        """Pre-register a loop view for every looping instrument region
+        in the font, so :meth:`wave_ext` is complete — and its shape
+        static — before any note plays. The streaming offline renderer
+        needs this: later segments may strike regions segment 1 never
+        saw, and a mid-stream ``wave_ext`` growth would change the
+        kernel's operand shape (recompile + re-upload). Idempotent;
+        views for regions that never sound only cost HBM bytes.
+        """
+        for inst in self._sound_font.instruments:
+            for region in inst.regions:
+                if region.sample_modes != LoopMode.NO_LOOP:
+                    self._loop_view_offset(
+                        int(region.sample_start_loop),
+                        int(region.sample_end_loop),
+                    )
+
     def wave_ext(self) -> jnp.ndarray:
         """The extended wavetable: original wave (padded to 128), then one
         tiled view per registered loop (loop content cyclically repeated to
@@ -1459,6 +1476,33 @@ class Synthesizer:
         Returns (par_stack (S,P) fields, ch_stack (S,16) fields,
         snap_idx (n_blocks,), n_blocks).
         """
+        n_blocks = int(
+            math.ceil(seconds * self._sample_rate / self._block_size)
+        )
+        gen = self.build_schedule_segments(midi_file, seconds, n_blocks)
+        par_stack, ch_stack, snap_idx, nb = next(gen)
+        for _ in gen:  # exhaust: applies the final voice-age advance
+            pass
+        return par_stack, ch_stack, snap_idx, n_blocks
+
+    def build_schedule_segments(self, midi_file: MidiFile, seconds: float,
+                                seg_blocks: int):
+        """Incremental :meth:`build_schedule`: a generator yielding the
+        schedule one ``seg_blocks``-block segment at a time, so a
+        streaming renderer can dispatch segment k to the device while
+        this host simulation produces segment k+1
+        (:func:`pygmu2_tpu.soundfont.offline.render_midi_offline_streamed`).
+
+        Yields (par_stack (S_k, P) fields, ch_stack (S_k, 16) fields,
+        snap_idx (nb_k,) LOCAL to the segment's stack, nb_k). Segment
+        boundaries cut between blocks only; each segment's first
+        snapshot is the simulator state at the segment's first block, so
+        concatenated segments describe exactly the timeline the
+        monolithic pass does (the host state evolution — including
+        voice-allocation decisions — is bit-identical: the same batched
+        event calls run in the same order). The synthesizer is mid-
+        simulation between yields; don't touch it until exhaustion.
+        """
         N = self._block_size
         n_blocks = int(math.ceil(seconds * self._sample_rate / N))
         self.reset()
@@ -1477,73 +1521,78 @@ class Synthesizer:
         ]
         ev_blocks = [int(math.ceil(t / block_dur - 1e-12)) for t, _m in normal]
 
-        # block 0 always snapshots (the block loop this replaces did);
-        # if events land on block 0 the replace branch below overwrites
-        snaps_par = [{k: v.copy() for k, v in self._par.items()}]
-        snaps_ch = [self._channel_arrays()]
-        snap_blocks = [0]
         prev_b = 0
         i = 0
-        while i < len(normal):
-            b = ev_blocks[i]
-            if b >= n_blocks:
-                break
-            self._host_voice_blocks[self._host_active] += b - prev_b
-            self._invalidate_pri()
-            prev_b = b
-            while i < len(normal) and ev_blocks[i] == b:
-                m = normal[i][1]
-                if m.command == 0x90 and m.data2 > 0:
-                    # batch the run of consecutive note-ons at this
-                    # block (chord strikes): bitwise-identical to the
-                    # sequential calls, one vectorized write per plane
-                    run = [(m.channel, m.data1, m.data2)]
-                    i += 1
-                    while i < len(normal) and ev_blocks[i] == b:
-                        m2 = normal[i][1]
-                        if m2.command != 0x90 or m2.data2 <= 0:
-                            break
-                        run.append((m2.channel, m2.data1, m2.data2))
+        for s0 in range(0, n_blocks, seg_blocks):
+            s1 = min(s0 + seg_blocks, n_blocks)
+            # the segment's first block always snapshots (the simulator
+            # state at segment start); events landing on block s0 are
+            # folded in by the replace branch below
+            snaps_par = [{k: v.copy() for k, v in self._par.items()}]
+            snaps_ch = [self._channel_arrays()]
+            snap_blocks = [s0]
+            while i < len(normal) and ev_blocks[i] < s1:
+                b = ev_blocks[i]
+                self._host_voice_blocks[self._host_active] += b - prev_b
+                self._invalidate_pri()
+                prev_b = b
+                while i < len(normal) and ev_blocks[i] == b:
+                    m = normal[i][1]
+                    if m.command == 0x90 and m.data2 > 0:
+                        # batch the run of consecutive note-ons at this
+                        # block (chord strikes): bitwise-identical to the
+                        # sequential calls, one vectorized write per plane
+                        run = [(m.channel, m.data1, m.data2)]
                         i += 1
-                    self.note_on_batch(run)
-                    continue
-                if m.command == 0x80 or (m.command == 0x90 and m.data2 == 0):
-                    offs = [(m.channel, m.data1)]
-                    i += 1
-                    while i < len(normal) and ev_blocks[i] == b:
-                        m2 = normal[i][1]
-                        if not (
-                            m2.command == 0x80
-                            or (m2.command == 0x90 and m2.data2 == 0)
-                        ) or not (0 <= m2.channel < self._CHANNEL_COUNT):
-                            break
-                        offs.append((m2.channel, m2.data1))
+                        while i < len(normal) and ev_blocks[i] == b:
+                            m2 = normal[i][1]
+                            if m2.command != 0x90 or m2.data2 <= 0:
+                                break
+                            run.append((m2.channel, m2.data1, m2.data2))
+                            i += 1
+                        self.note_on_batch(run)
+                        continue
+                    if m.command == 0x80 or (m.command == 0x90 and m.data2 == 0):
+                        offs = [(m.channel, m.data1)]
                         i += 1
-                    self.note_off_batch(offs)
-                    continue
-                self.process_midi_message(m.channel, m.command, m.data1, m.data2)
-                i += 1
-            if snap_blocks[-1] == b:
-                snaps_par[-1] = {k: v.copy() for k, v in self._par.items()}
-                snaps_ch[-1] = self._channel_arrays()
-            else:
-                snaps_par.append({k: v.copy() for k, v in self._par.items()})
-                snaps_ch.append(self._channel_arrays())
-                snap_blocks.append(b)
+                        while i < len(normal) and ev_blocks[i] == b:
+                            m2 = normal[i][1]
+                            if not (
+                                m2.command == 0x80
+                                or (m2.command == 0x90 and m2.data2 == 0)
+                            ) or not (0 <= m2.channel < self._CHANNEL_COUNT):
+                                break
+                            offs.append((m2.channel, m2.data1))
+                            i += 1
+                        self.note_off_batch(offs)
+                        continue
+                    self.process_midi_message(
+                        m.channel, m.command, m.data1, m.data2
+                    )
+                    i += 1
+                if snap_blocks[-1] == b:
+                    snaps_par[-1] = {k: v.copy() for k, v in self._par.items()}
+                    snaps_ch[-1] = self._channel_arrays()
+                else:
+                    snaps_par.append({k: v.copy() for k, v in self._par.items()})
+                    snaps_ch.append(self._channel_arrays())
+                    snap_blocks.append(b)
+
+            snap_idx = (
+                np.searchsorted(
+                    np.asarray(snap_blocks), np.arange(s0, s1), "right"
+                )
+                - 1
+            ).astype(np.int32)
+            par_stack = {
+                k: np.stack([s[k] for s in snaps_par]) for k in self._par
+            }
+            ch_stack = {
+                k: np.stack([s[k] for s in snaps_ch]) for k in snaps_ch[0]
+            }
+            yield par_stack, ch_stack, snap_idx, s1 - s0
         self._host_voice_blocks[self._host_active] += n_blocks - prev_b
         self._invalidate_pri()
-
-        snap_idx = (
-            np.searchsorted(np.asarray(snap_blocks), np.arange(n_blocks), "right") - 1
-        ).astype(np.int32)
-
-        par_stack = {
-            k: np.stack([s[k] for s in snaps_par]) for k in self._par
-        }
-        ch_stack = {
-            k: np.stack([s[k] for s in snaps_ch]) for k in snaps_ch[0]
-        }
-        return par_stack, ch_stack, snap_idx, n_blocks
 
     def render_midi_schedule(self, midi_file: MidiFile, seconds: float) -> np.ndarray:
         """Render a MIDI file offline in ONE scanned device launch.
