@@ -114,8 +114,8 @@ def main():
     print(f"backend={jax.default_backend()}  samples/run={total}  "
           f"runs={args.runs}  link≈{link_per_s:.1f} ms/s-audio")
     print(f"{'PE':<22} {'mean ms':>9} {'std':>7} {'min':>8} {'max':>8} "
-          f"{'Msmp/s':>9} {'xRT':>8} {'xRT_dev':>8}")
-    print("-" * 88)
+          f"{'Msmp/s':>9} {'xRT':>8} {'dev Msmp/s':>11} {'xRT_dev':>8}")
+    print("-" * 100)
 
     def timed_render(pe, n, runs):
         times = []
@@ -128,6 +128,41 @@ def main():
             _np.asarray(out)  # render-to-host is the real workload
             times.append((time.perf_counter() - t0) * 1e3)
         return times
+
+    from pygmu2_tpu.core import prec
+    from pygmu2_tpu.core.engine import render_functional
+
+    def device_ms_per_render(pe, n, block=16384, k1=4, k2=28):
+        """True on-chip time per render: chain the purely-functional
+        render inside ONE jitted fori_loop (dynamic trip count: one
+        compile) and difference two trip counts, which cancels the
+        dispatch round-trip and every other per-call fixed cost — the
+        BASELINE.json Msamples/s/chip methodology. The accumulator
+        threads into the next render's start index (still 0 after the
+        1e-30 scaling) so iterations can't be CSE'd, and the full-sum
+        dependency keeps XLA from slicing the render to one lane. The
+        chain result is pulled to host via float() (block_until_ready is
+        enqueue-only before the first D2H — OPTIMIZING.md rule 1b)."""
+
+        @jax.jit
+        def chain(k):
+            def body(_k, acc):
+                start = (acc * 1e-30).astype(prec.INDEX)
+                out = render_functional(pe, start, n, block)
+                return acc + out.astype(jnp.float32).sum() * 1e-30
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        float(chain(jnp.int32(2)))  # compile + warm
+        t1s, t2s = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(jnp.int32(k1)))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(chain(jnp.int32(k2)))
+            t2s.append(time.perf_counter() - t0)
+        return (min(t2s) - min(t1s)) / (k2 - k1) * 1e3
 
     for name, build in configs.items():
         try:
@@ -148,26 +183,16 @@ def main():
             std = statistics.stdev(times) if len(times) > 1 else 0.0
             msps = total / (mean / 1e3) / 1e6
             xrt = (total / 44100) / (mean / 1e3)
-            # Device-only estimate: render 4x the audio with the same
-            # program; the difference cancels the fixed per-call
-            # dispatch round-trip, and the calibrated link rate removes
-            # the D2H transfer — what remains is on-chip time/s-audio.
-            total4 = 4 * total
-            engine.render_scan(pe, 0, total4, 16384)  # compile 4x length
-            _np.asarray(engine.render_scan(pe, 0, total4, 16384))
-            t4 = min(timed_render(pe, total4, max(3, args.runs - 2)))
-            secs = args.seconds
-            # Measurement floor: through the tunnel the regression has
-            # ±few-ms noise, so estimates below 0.5 ms/s-audio are
-            # reported as the bound ">2000" rather than a fake number.
-            dev_ms_per_s = (t4 - min(times)) / (3.0 * secs) - link_per_s
-            if dev_ms_per_s < 0.5:
-                dev_str = ">2000"
+            dev_ms = device_ms_per_render(pe, total)
+            if dev_ms <= 0.0:  # differenced mins can go negative in noise
+                dev_msps_str, dev_rtf_str = "noise", "noise"
             else:
-                dev_str = f"{1e3 / dev_ms_per_s:.0f}"
+                dev_msps_str = f"{total / (dev_ms / 1e3) / 1e6:.0f}"
+                dev_rtf_str = f"{(total / 44100) / (dev_ms / 1e3):.0f}"
             print(
                 f"{name:<22} {mean:>9.2f} {std:>7.2f} {min(times):>8.2f} "
-                f"{max(times):>8.2f} {msps:>9.1f} {xrt:>8.1f} {dev_str:>8}"
+                f"{max(times):>8.2f} {msps:>9.1f} {xrt:>8.1f} "
+                f"{dev_msps_str:>11} {dev_rtf_str:>8}"
             )
         except Exception as exc:  # keep the suite running
             print(f"{name:<22} FAILED: {type(exc).__name__}: {exc}")

@@ -514,9 +514,12 @@ def render_functional(root, start: int, total: int, block: int, bindings=None):
         loss = lambda b: jnp.mean((render_functional(g, 0, N, B, b) - t) ** 2)
         grads = jax.grad(loss)({"cutoff": 800.0})
 
-    Gradients flow through every scan/closed-form path; Pallas kernels
-    (TPU ladder/comb/KS/ADSR fast paths) define no VJP — their
-    ``lax.scan`` fallbacks (CPU backend) are differentiable.
+    Gradients flow through every scan/closed-form path AND the Mosaic
+    kernel paths: each sequential Pallas kernel (TPU
+    ladder/comb/KS/ADSR/reverse-echo/envelope/linrec fast paths)
+    carries a custom_vjp whose backward replays its ``lax.scan``
+    reference (ops/diffable.py), so this is differentiable on every
+    backend (tests/test_kernel_gradients.py).
     """
     if total <= 0:
         return jnp.zeros((0, root.channel_count() or 1), dtype=prec.AUDIO)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pygmu2_tpu.core import prec
+from pygmu2_tpu.ops import diffable as _dfb
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
 from pygmu2_tpu.models.modes import DetectionMode
@@ -130,13 +131,13 @@ class EnvelopePE(ProcessingElement):
             y = affine_scan_1(
                 jnp.full_like(x, 1.0 - atk), atk * x, env0
             )
-        elif jax.default_backend() == "tpu" and x.shape[1] <= 128:
+        elif _dfb.kernel_path_enabled() and x.shape[1] <= 128:
             # asymmetric follower: sequential Mosaic kernel
             from pygmu2_tpu.ops.envelope_pallas import envelope_ar_pallas
 
             y, _ef = envelope_ar_pallas(
                 x.astype(jnp.float32), env0.astype(jnp.float32),
-                atk=atk, rel=rel,
+                atk=atk, rel=rel, interpret=_dfb.kernel_interpret(),
             )
         else:
             def step(env, xi):
@@ -248,7 +249,7 @@ class AdsrGatedPE(_AdsrBase):
         st, _ = ctx.state(self, init=init)
         sus = self._sustain_level
 
-        if jax.default_backend() == "tpu":
+        if _dfb.kernel_path_enabled():
             # sequential Mosaic kernel: (stage, e0, n) count-based state,
             # env recomputed as e0 + n*dvdt each sample (no f64 carry
             # needed — one rounding regardless of segment length)
@@ -271,7 +272,10 @@ class AdsrGatedPE(_AdsrBase):
                     st["prev_gate"].astype(jnp.float32),
                 ]
             )
-            y, ns = adsr_scan_pallas(gate.astype(jnp.float32), kst, **kw)
+            y, ns = adsr_scan_pallas(
+                gate.astype(jnp.float32), kst,
+                interpret=_dfb.kernel_interpret(), **kw,
+            )
             ctx.set_state(
                 self,
                 {
@@ -347,7 +351,7 @@ class AdsrTriggeredPE(_AdsrBase):
         sus = self._sustain_level
 
         S = self._sustain_samples
-        if jax.default_backend() == "tpu" and 0 < S < (1 << 24):
+        if _dfb.kernel_path_enabled() and 0 < S < (1 << 24):
             # sequential Mosaic kernel; the absolute sustain deadline is
             # converted to a samples-since-entry count (see adsr_pallas)
             from pygmu2_tpu.ops.adsr_pallas import (
@@ -380,7 +384,8 @@ class AdsrTriggeredPE(_AdsrBase):
                 ]
             )
             y, ns = adsr_scan_pallas(
-                trig.astype(jnp.float32), kst, sustain_samples=S, **kw
+                trig.astype(jnp.float32), kst, sustain_samples=S,
+                interpret=_dfb.kernel_interpret(), **kw,
             )
             t_next = t0 + trig.shape[0]
             ends = jnp.where(

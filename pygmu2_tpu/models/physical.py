@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pygmu2_tpu.core import prec
+from pygmu2_tpu.ops import diffable as _dfb
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement, SourcePE
 from pygmu2_tpu.models.modes import LadderMode
@@ -222,7 +223,7 @@ class LadderPE(ProcessingElement):
             new_carry = {"z0": tuple(z0), "z1": tuple(z1), "old": input_sample}
             return new_carry, total
 
-        if jax.default_backend() == "tpu" and C <= 128:
+        if _dfb.kernel_path_enabled() and C <= 128:
             # sequential Mosaic kernel: ~280 ns/sample vs ~2.4 us/sample
             # for the unrolled lax.scan (ops/ladder_pallas.py)
             from pygmu2_tpu.ops.ladder_pallas import ladder_scan_pallas
@@ -236,6 +237,7 @@ class LadderPE(ProcessingElement):
                 os_n=os_n, pbg=float(pbg), mode_index=mode_index,
                 input_threshold=float(self._INPUT_THRESHOLD),
                 state_decay=float(self._STATE_DECAY), chunk=512,
+                interpret=_dfb.kernel_interpret(),
             )
             final = {
                 "z0": tuple(new9[i] for i in range(4)),
@@ -349,7 +351,7 @@ class CombPE(ProcessingElement):
         )
         smooth_alpha = 1.0 / self._smoothing_samples
 
-        if jax.default_backend() == "tpu" and C <= 128:
+        if _dfb.kernel_path_enabled() and C <= 128:
             # sequential Mosaic kernel with the ring buffer in VMEM
             # scratch (ops/comb_pallas.py) — lax.scan re-materializes the
             # whole (L, C) buffer per sample.
@@ -360,6 +362,7 @@ class CombPE(ProcessingElement):
             y, buf2, pos2, sf2 = comb_scan_pallas(
                 x, freq_t, fb_t, st["buf"], st["pos"], st["sf"],
                 L=L, sr=sr, smooth_alpha=float(smooth_alpha), chunk=512,
+                interpret=_dfb.kernel_interpret(),
             )
             ctx.set_state(self, {"buf": buf2, "pos": pos2, "sf": sf2})
             return y.astype(prec.AUDIO)
@@ -470,13 +473,14 @@ class KarplusStrongPE(SourcePE):
             rho_t = jnp.full((ctx.duration,), self._rho, jnp.float32)
         active = t >= 0  # string exists from t=0; don't advance state before
 
-        if jax.default_backend() == "tpu":
+        if _dfb.kernel_path_enabled():
             # sequential Mosaic kernel (ops/ks_pallas.py)
             from pygmu2_tpu.ops.ks_pallas import ks_scan_pallas
 
             y, buf2, r2, ai2, ao2 = ks_scan_pallas(
                 rho_t, active, st["buf"], st["r"], st["ap_in"], st["ap_out"],
                 L=delay_len, allpass_c=float(allpass_c), chunk=512,
+                interpret=_dfb.kernel_interpret(),
             )
             ctx.set_state(
                 self, {"buf": buf2, "r": r2, "ap_in": ai2, "ap_out": ao2}

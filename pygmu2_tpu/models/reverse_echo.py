@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from pygmu2_tpu.core import prec
+from pygmu2_tpu.ops import diffable as _dfb
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
 
@@ -164,7 +165,7 @@ class ReversePitchEchoPE(ProcessingElement):
         # Sequential Mosaic kernel when the ring buffers fit VMEM
         # (cap <= ~9500 rows; shrink max_delay_seconds to engage it).
         if (
-            jax.default_backend() == "tpu"
+            _dfb.kernel_path_enabled()
             and C <= 128
             and (2 * max_delay + pitch_len + 2) * 512 <= 10 * 2**20
         ):
@@ -183,6 +184,7 @@ class ReversePitchEchoPE(ProcessingElement):
                 sr=sr, plen=pitch_len, cap=max_delay,
                 min_block=min_block, max_block=max_block,
                 smooth_alpha=smooth_alpha,
+                interpret=_dfb.kernel_interpret(),
             )
             new_st = {
                 "buf_a": ba2,

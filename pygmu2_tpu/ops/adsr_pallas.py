@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
+
 _LANES = 128
 _IDLE, _ATTACK, _DECAY, _SUSTAIN, _RELEASE = 0.0, 1.0, 2.0, 3.0, 4.0
 
@@ -148,6 +150,91 @@ def _make_kernel(dA: float, dD: float, dR: float, sus: float,
     return kernel
 
 
+def adsr_scan_ref(gate, state, *, dA, dD, dR, sus, sustain_samples=None):
+    """Pure-jax ``lax.scan`` reference of the kernel (same op order and
+    (stage, e0, n) recompute-fresh precision scheme, f32). Backward body
+    of the kernel's VJP (ops/diffable.py). Same outputs as
+    :func:`adsr_scan_pallas`: (env (T,), new_state (4,))."""
+    gated = sustain_samples is None
+
+    def env_of(stage, e0, n):
+        d = jnp.where(
+            stage == _ATTACK,
+            jnp.float32(dA),
+            jnp.where(stage == _DECAY, jnp.float32(dD), jnp.float32(dR)),
+        )
+        return jnp.where(
+            stage == _IDLE,
+            jnp.float32(0.0),
+            jnp.where(stage == _SUSTAIN, jnp.float32(sus), e0 + n * d),
+        )
+
+    def step(st4, g):
+        stage, e0, n, pg = st4[0], st4[1], st4[2], st4[3]
+        env = env_of(stage, e0, n)
+        if gated:
+            rising = (pg == 0.0) & (g == 1.0)
+            falling = (pg == 1.0) & (g == 0.0)
+            stage = jnp.where(
+                rising,
+                jnp.float32(_ATTACK),
+                jnp.where(falling, jnp.float32(_RELEASE), stage),
+            )
+            edge = rising | falling
+        else:
+            edge = g > 0.0
+            stage = jnp.where(edge, jnp.float32(_ATTACK), stage)
+        e0 = jnp.where(edge, env, e0)
+        n = jnp.where(edge, jnp.float32(0.0), n)
+
+        d2 = jnp.where(
+            stage == _ATTACK,
+            jnp.float32(dA),
+            jnp.where(stage == _DECAY, jnp.float32(dD), jnp.float32(dR)),
+        )
+        n1 = n + 1.0
+        cand = e0 + n1 * d2
+        hit_a = (stage == _ATTACK) & (cand >= 1.0)
+        hit_d = (stage == _DECAY) & (cand <= sus)
+        hit_r = (stage == _RELEASE) & (cand <= 0.0)
+        if gated:
+            expire = jnp.zeros_like(hit_a)
+        else:
+            expire = (stage == _SUSTAIN) & (
+                n1 >= jnp.float32(sustain_samples)
+            )
+        stage2 = jnp.where(
+            hit_a,
+            jnp.float32(_DECAY),
+            jnp.where(
+                hit_d,
+                jnp.float32(_SUSTAIN),
+                jnp.where(
+                    hit_r,
+                    jnp.float32(_IDLE),
+                    jnp.where(expire, jnp.float32(_RELEASE), stage),
+                ),
+            ),
+        )
+        e02 = jnp.where(
+            hit_a,
+            jnp.float32(1.0),
+            jnp.where(
+                hit_d | expire,
+                jnp.float32(sus),
+                jnp.where(hit_r, jnp.float32(0.0), e0),
+            ),
+        )
+        n2 = jnp.where(hit_a | hit_d | hit_r | expire, 0.0, n1)
+        return jnp.stack([stage2, e02, n2, g]), env
+
+    new_st, y = jax.lax.scan(
+        step, state.astype(jnp.float32), gate.astype(jnp.float32),
+        unroll=8,
+    )
+    return y, new_st
+
+
 def env_of_state(state, *, dA, dD, dR, sus):
     """The envelope value implied by a [stage, e0, n, pg] state vector
     (jnp mirror of the in-kernel ``env_of``)."""
@@ -175,28 +262,43 @@ def adsr_scan_pallas(gate, state, *, dA, dD, dR, sus,
     """gate: (T,) f32 (gate levels, or trigger magnitudes for the
     triggered variant — ``sustain_samples`` not None selects it);
     state: (4,) f32 rows [stage, e0, n, prev_gate].
-    Returns (env (T,) f32, new_state (4,) f32)."""
+    Returns (env (T,) f32, new_state (4,) f32).
+
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    replays :func:`adsr_scan_ref` (ops/diffable.py). The envelope is a
+    state machine over gate EDGES, so the useful cotangents flow to the
+    carried state, not the gate levels."""
     (T,) = gate.shape
     Tp = -(-T // chunk) * chunk
-    gp = jnp.broadcast_to(
-        jnp.pad(gate, (0, Tp - T))[:, None], (Tp, _LANES)
-    )
-    st = jnp.broadcast_to(state[:, None], (4, _LANES))
 
-    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    stspec = pl.BlockSpec((4, _LANES), lambda i: (i * 0, i * 0),
-                          memory_space=pltpu.VMEM)
-    y, new_st = pl.pallas_call(
-        _make_kernel(dA, dD, dR, sus, sustain_samples, chunk, T),
-        out_shape=(
-            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((4, _LANES), jnp.float32),
-        ),
-        grid=(Tp // chunk,),
-        in_specs=[big, stspec],
-        out_specs=(big, stspec),
-        scratch_shapes=[pltpu.VMEM((4, _LANES), jnp.float32)],
-        interpret=interpret,
-    )(gp, st)
-    return y[:T, 0], new_st[:, 0]
+    def kernel_branch(gate, state):
+        gp = jnp.broadcast_to(
+            jnp.pad(gate, (0, Tp - T))[:, None], (Tp, _LANES)
+        )
+        st = jnp.broadcast_to(state[:, None], (4, _LANES))
+
+        big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        stspec = pl.BlockSpec((4, _LANES), lambda i: (i * 0, i * 0),
+                              memory_space=pltpu.VMEM)
+        y, new_st = pl.pallas_call(
+            _make_kernel(dA, dD, dR, sus, sustain_samples, chunk, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((4, _LANES), jnp.float32),
+            ),
+            grid=(Tp // chunk,),
+            in_specs=[big, stspec],
+            out_specs=(big, stspec),
+            scratch_shapes=[pltpu.VMEM((4, _LANES), jnp.float32)],
+            interpret=interpret,
+        )(gp, st)
+        return y[:T, 0], new_st[:, 0]
+
+    def scan_branch(gate, state):
+        return adsr_scan_ref(
+            gate, state, dA=dA, dD=dD, dR=dR, sus=sus,
+            sustain_samples=sustain_samples,
+        )
+
+    return kernel_with_scan_vjp(kernel_branch, scan_branch)(gate, state)

@@ -20,7 +20,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
+
 _LANES = 128
+
+
+def comb_scan_ref(x, freq, fb, buf, pos, sf, *, L, sr, smooth_alpha):
+    """Pure-jax ``lax.scan`` reference of the kernel (same op order,
+    f32). Backward body of the kernel's VJP (ops/diffable.py) and the
+    parity oracle in tests/test_comb_pallas.py. Same outputs as
+    :func:`comb_scan_pallas`: (y, buf', pos', sf')."""
+
+    def step(carry, inp):
+        buf, pos, sf = carry
+        xi, fi, fbi = inp
+        sf = jnp.where(
+            sf < 0.0, fi, sf + (fi - sf) * jnp.float32(smooth_alpha)
+        )
+        delay = jnp.clip(
+            jnp.round(jnp.float32(sr) / jnp.maximum(sf, 1.0))
+            .astype(jnp.int32),
+            jnp.int32(1),
+            jnp.int32(L - 1),
+        )
+        read = jax.lax.rem(pos - delay + jnp.int32(L), jnp.int32(L))
+        delayed = jax.lax.dynamic_slice_in_dim(buf, read, 1, axis=0)[0]
+        out = xi + fbi * delayed
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, out[None], pos, axis=0)
+        pos = jax.lax.rem(pos + jnp.int32(1), jnp.int32(L))
+        return (buf, pos, sf), out
+
+    (buf, pos, sf), y = jax.lax.scan(
+        step,
+        (buf, jnp.asarray(pos, jnp.int32), jnp.asarray(sf, jnp.float32)),
+        (x, freq.astype(jnp.float32), fb.astype(jnp.float32)),
+    )
+    return y, buf, pos, sf
 
 
 def _make_kernel(L: int, sr: float, smooth_alpha: float, chunk: int,
@@ -90,47 +125,63 @@ def _make_kernel(L: int, sr: float, smooth_alpha: float, chunk: int,
 def comb_scan_pallas(x, freq, fb, buf, pos, sf, *, L, sr, smooth_alpha,
                      chunk: int = 512, interpret: bool = False):
     """x: (T, C); freq/fb: (T,) f32; buf: (L, C); pos: () int32; sf: () f32.
-    Returns (y (T, C), buf', pos', sf')."""
+    Returns (y (T, C), buf', pos', sf').
+
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    replays :func:`comb_scan_ref` (ops/diffable.py)."""
     T, C = x.shape
     assert C <= _LANES
     padC = _LANES - C
     Tp = -(-T // chunk) * chunk
     padT = Tp - T
 
-    xp = jnp.pad(x, ((0, padT), (0, padC)))
-    colp = lambda a: jnp.pad(a[:, None].astype(jnp.float32), ((0, padT), (0, 0)))
-    bufp = jnp.pad(buf, ((0, 0), (0, padC)))
-    misc = jnp.zeros((1, _LANES), jnp.float32)
-    misc = misc.at[0, 0].set(pos.astype(jnp.float32))
-    misc = misc.at[0, 1].set(sf)
+    def kernel_branch(x, freq, fb, buf, pos, sf):
+        xp = jnp.pad(x, ((0, padT), (0, padC)))
+        colp = lambda a: jnp.pad(
+            a[:, None].astype(jnp.float32), ((0, padT), (0, 0))
+        )
+        bufp = jnp.pad(buf, ((0, 0), (0, padC)))
+        misc = jnp.zeros((1, _LANES), jnp.float32)
+        misc = misc.at[0, 0].set(pos.astype(jnp.float32))
+        misc = misc.at[0, 1].set(sf)
 
-    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((L, _LANES), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
-    y, buf2, misc2 = pl.pallas_call(
-        _make_kernel(L, sr, smooth_alpha, chunk, T),
-        out_shape=(
-            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((L, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
-        ),
-        grid=(Tp // chunk,),
-        in_specs=[big, col, col, bspec, mspec],
-        out_specs=(big, bspec, mspec),
-        scratch_shapes=[
-            pltpu.VMEM((L, _LANES), jnp.float32),
-            pltpu.VMEM((1, _LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xp, colp(freq), colp(fb), bufp, misc)
-    return (
-        y[:T, :C],
-        buf2[:, :C],
-        misc2[0, 0].astype(jnp.int32),
-        misc2[0, 1],
+        big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((L, _LANES), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+        y, buf2, misc2 = pl.pallas_call(
+            _make_kernel(L, sr, smooth_alpha, chunk, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((L, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
+            ),
+            grid=(Tp // chunk,),
+            in_specs=[big, col, col, bspec, mspec],
+            out_specs=(big, bspec, mspec),
+            scratch_shapes=[
+                pltpu.VMEM((L, _LANES), jnp.float32),
+                pltpu.VMEM((1, _LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xp, colp(freq), colp(fb), bufp, misc)
+        return (
+            y[:T, :C],
+            buf2[:, :C],
+            misc2[0, 0].astype(jnp.int32),
+            misc2[0, 1],
+        )
+
+    def scan_branch(x, freq, fb, buf, pos, sf):
+        return comb_scan_ref(
+            x, freq, fb, buf, pos, sf, L=L, sr=sr,
+            smooth_alpha=smooth_alpha,
+        )
+
+    return kernel_with_scan_vjp(kernel_branch, scan_branch)(
+        x, freq, fb, buf, pos, sf
     )

@@ -18,7 +18,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
+
 _LANES = 128
+
+
+def envelope_ar_scan_ref(x, env0, *, atk, rel):
+    """Pure-jax ``lax.scan`` reference of the kernel (same op order,
+    f32). Backward body of the kernel's VJP (ops/diffable.py). Same
+    outputs as :func:`envelope_ar_pallas`: (env (T, C), env_final (C,))."""
+
+    def step(e, xi):
+        coeff = jnp.where(xi > e, jnp.float32(atk), jnp.float32(rel))
+        e = e + coeff * (xi - e)
+        return e, e
+
+    ef, y = jax.lax.scan(step, env0.astype(jnp.float32), x, unroll=8)
+    return y, ef
 
 
 def _make_kernel(atk: float, rel: float, chunk: int, total_rows: int):
@@ -60,28 +76,38 @@ def _make_kernel(atk: float, rel: float, chunk: int, total_rows: int):
 def envelope_ar_pallas(x, env0, *, atk, rel, chunk: int = 1024,
                        interpret: bool = False):
     """x: (T, C) rectified input; env0: (C,) carried envelope.
-    Returns (env (T, C), env_final (C,))."""
+    Returns (env (T, C), env_final (C,)).
+
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    replays :func:`envelope_ar_scan_ref` (ops/diffable.py)."""
     T, C = x.shape
     assert C <= _LANES
     padC = _LANES - C
     Tp = -(-T // chunk) * chunk
-    xp = jnp.pad(x, ((0, Tp - T), (0, padC)))
-    e0 = jnp.pad(env0, (0, padC))[None, :]
 
-    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    espec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
-    y, ef = pl.pallas_call(
-        _make_kernel(atk, rel, chunk, T),
-        out_shape=(
-            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
-        ),
-        grid=(Tp // chunk,),
-        in_specs=[big, espec],
-        out_specs=(big, espec),
-        scratch_shapes=[pltpu.VMEM((1, _LANES), jnp.float32)],
-        interpret=interpret,
-    )(xp, e0)
-    return y[:T, :C], ef[0, :C]
+    def kernel_branch(x, env0):
+        xp = jnp.pad(x, ((0, Tp - T), (0, padC)))
+        e0 = jnp.pad(env0, (0, padC))[None, :]
+
+        big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        espec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+        y, ef = pl.pallas_call(
+            _make_kernel(atk, rel, chunk, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
+            ),
+            grid=(Tp // chunk,),
+            in_specs=[big, espec],
+            out_specs=(big, espec),
+            scratch_shapes=[pltpu.VMEM((1, _LANES), jnp.float32)],
+            interpret=interpret,
+        )(xp, e0)
+        return y[:T, :C], ef[0, :C]
+
+    def scan_branch(x, env0):
+        return envelope_ar_scan_ref(x, env0, atk=atk, rel=rel)
+
+    return kernel_with_scan_vjp(kernel_branch, scan_branch)(x, env0)

@@ -22,7 +22,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
+
 _LANES = 128
+
+
+def _mode_mix(mode_index: int, u, s1, s2, s3, s4):
+    if mode_index == 0:
+        return s4
+    if mode_index == 1:
+        return s2
+    if mode_index == 2:
+        return (s2 + s4) * 4.0 - s3 * 8.0
+    if mode_index == 3:
+        return (s1 - s2) * 2.0
+    if mode_index == 4:
+        return u + s4 - (s1 + s3) * 4.0 + s2 * 6.0
+    return u + s2 - s1 * 2.0
+
+
+def ladder_scan_ref(x, al, qa, ki, dsc, state, *, os_n, pbg, mode_index,
+                    input_threshold, state_decay):
+    """Pure-jax ``lax.scan`` reference of the kernel (same op order, f32;
+    kernel layout: x (T, C), al/qa/ki/dsc (T,), state (9, C)). Backward
+    body of the kernel's VJP (ops/diffable.py) and the parity oracle in
+    tests/test_ladder_pallas.py."""
+    os_recip = 1.0 / os_n
+
+    def step(st9, inp):
+        xi, al_, qa_, ki_, dsc_ = inp
+        input_sample = xi * dsc_
+        quiet = jnp.abs(input_sample) < input_threshold
+        decay = jnp.where(
+            quiet, jnp.float32(state_decay), jnp.float32(1.0)
+        )
+        z0 = [st9[k] * decay for k in range(4)]
+        z1 = [st9[4 + k] * decay for k in range(4)]
+        old = st9[8] * decay
+        total = jnp.zeros_like(input_sample)
+        for s_idx in range(os_n):
+            interp = s_idx * os_recip
+            in_i = interp * old + (1.0 - interp) * input_sample
+            u = jnp.tanh(in_i - (z1[3] - pbg * in_i) * ki_ * qa_)
+            stages = []
+            prev = u
+            for st_i in range(4):
+                ft = prev * 0.76923077 + 0.23076923 * z0[st_i] - z1[st_i]
+                ft = ft * al_ + z1[st_i]
+                z1[st_i] = ft
+                z0[st_i] = prev
+                stages.append(ft)
+                prev = ft
+            total = total + _mode_mix(mode_index, u, *stages) * os_recip
+        new9 = jnp.stack(z0 + z1 + [input_sample])
+        return new9, total
+
+    new_st, y = jax.lax.scan(
+        step, state,
+        (x, al.astype(jnp.float32), qa.astype(jnp.float32),
+         ki.astype(jnp.float32), dsc.astype(jnp.float32)),
+        unroll=8,
+    )
+    return y, new_st
 
 
 def _make_kernel(os_n: int, pbg: float, mode_index: int,
@@ -31,17 +92,7 @@ def _make_kernel(os_n: int, pbg: float, mode_index: int,
     os_recip = 1.0 / os_n
 
     def mode_mix(u, s1, s2, s3, s4):
-        if mode_index == 0:
-            return s4
-        if mode_index == 1:
-            return s2
-        if mode_index == 2:
-            return (s2 + s4) * 4.0 - s3 * 8.0
-        if mode_index == 3:
-            return (s1 - s2) * 2.0
-        if mode_index == 4:
-            return u + s4 - (s1 + s3) * 4.0 + s2 * 6.0
-        return u + s2 - s1 * 2.0
+        return _mode_mix(mode_index, u, s1, s2, s3, s4)
 
     def kernel(x_ref, al_ref, qa_ref, ki_ref, dsc_ref, st_in_ref,
                y_ref, st_out_ref, st_ref):
@@ -121,37 +172,52 @@ def ladder_scan_pallas(x, al, qa, ki, dsc, state, *, os_n, pbg, mode_index,
                        interpret: bool = False):
     """x: (T, C) f32; al/qa/ki/dsc: (T,) f32 per-sample coefficients;
     state: (9, C) f32 rows = z0[0..3], z1[0..3], old.
-    Returns (y (T, C), new_state (9, C))."""
+    Returns (y (T, C), new_state (9, C)).
+
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    replays :func:`ladder_scan_ref` (ops/diffable.py)."""
     T, C = x.shape
     assert C <= _LANES
     padC = _LANES - C
     Tp = -(-T // chunk) * chunk
     padT = Tp - T
 
-    def pad2(a):
-        return jnp.pad(a, ((0, padT), (0, padC)))
+    def kernel_branch(x, al, qa, ki, dsc, state):
+        def pad2(a):
+            return jnp.pad(a, ((0, padT), (0, padC)))
 
-    xp = pad2(x)
-    colp = lambda a: jnp.pad(a[:, None], ((0, padT), (0, 0)))
-    st = jnp.pad(state, ((0, 0), (0, padC)))
+        xp = pad2(x)
+        colp = lambda a: jnp.pad(a[:, None], ((0, padT), (0, 0)))
+        st = jnp.pad(state, ((0, 0), (0, padC)))
 
-    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    stspec = pl.BlockSpec((9, _LANES), lambda i: (i * 0, i * 0),
-                          memory_space=pltpu.VMEM)
-    y, new_st = pl.pallas_call(
-        _make_kernel(os_n, pbg, mode_index, input_threshold, state_decay,
-                     chunk, T),
-        out_shape=(
-            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((9, _LANES), jnp.float32),
-        ),
-        grid=(Tp // chunk,),
-        in_specs=[big, col, col, col, col, stspec],
-        out_specs=(big, stspec),
-        scratch_shapes=[pltpu.VMEM((9, _LANES), jnp.float32)],
-        interpret=interpret,
-    )(xp, colp(al), colp(qa), colp(ki), colp(dsc), st)
-    return y[:T, :C], new_st[:, :C]
+        big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        stspec = pl.BlockSpec((9, _LANES), lambda i: (i * 0, i * 0),
+                              memory_space=pltpu.VMEM)
+        y, new_st = pl.pallas_call(
+            _make_kernel(os_n, pbg, mode_index, input_threshold,
+                         state_decay, chunk, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((9, _LANES), jnp.float32),
+            ),
+            grid=(Tp // chunk,),
+            in_specs=[big, col, col, col, col, stspec],
+            out_specs=(big, stspec),
+            scratch_shapes=[pltpu.VMEM((9, _LANES), jnp.float32)],
+            interpret=interpret,
+        )(xp, colp(al), colp(qa), colp(ki), colp(dsc), st)
+        return y[:T, :C], new_st[:, :C]
+
+    def scan_branch(x, al, qa, ki, dsc, state):
+        return ladder_scan_ref(
+            x, al, qa, ki, dsc, state, os_n=os_n, pbg=pbg,
+            mode_index=mode_index, input_threshold=input_threshold,
+            state_decay=state_decay,
+        )
+
+    return kernel_with_scan_vjp(kernel_branch, scan_branch)(
+        x, al, qa, ki, dsc, state
+    )

@@ -89,10 +89,32 @@ def affine_scan_2_pallas(a11, a12, a21, a22, u1, u2, s0=None, *,
     """Drop-in for ops.linrec.affine_scan_2 on (T, P) float32 planes.
 
     P should be a multiple of 128 (lanes); T is padded to the chunk.
-    """
+
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    replays ``ops.linrec.affine_scan_2`` (ops/diffable.py)."""
+    from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
+    from pygmu2_tpu.ops.linrec import affine_scan_2
+
     a11, a12, a21, a22, u1, u2 = jnp.broadcast_arrays(
         a11, a12, a21, a22, u1, u2
     )
+    if s0 is None:
+        return kernel_with_scan_vjp(
+            lambda *a: _affine_scan_2_pallas_raw(
+                *a, chunk=chunk, interpret=interpret
+            ),
+            lambda *a: affine_scan_2(*a),
+        )(a11, a12, a21, a22, u1, u2)
+    return kernel_with_scan_vjp(
+        lambda *a: _affine_scan_2_pallas_raw(
+            *a[:6], s0=(a[6], a[7]), chunk=chunk, interpret=interpret
+        ),
+        lambda *a: affine_scan_2(*a[:6], s0=(a[6], a[7])),
+    )(a11, a12, a21, a22, u1, u2, s0[0], s0[1])
+
+
+def _affine_scan_2_pallas_raw(a11, a12, a21, a22, u1, u2, s0=None, *,
+                              chunk: int = 256, interpret: bool = False):
     if s0 is not None:
         s01, s02 = s0
         u1 = u1.at[0].add(a11[0] * s01 + a12[0] * s02)

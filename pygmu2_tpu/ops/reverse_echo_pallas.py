@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
+
 _LANES = 128
 MISC_FIELDS = (
     "cur_is_a", "p_wpos", "p_rpos", "w_idx", "r_idx", "smoothed",
@@ -213,6 +215,121 @@ def _make_kernel(sr: float, plen: int, cap: int, min_block: int,
     return kernel
 
 
+def reverse_echo_scan_ref(x, blk, ratio, fb, alt, buf_a, buf_b,
+                          pitch_buf, misc, *, sr, plen, cap, min_block,
+                          max_block, smooth_alpha):
+    """Pure-jax ``lax.scan`` reference of the kernel (same op order,
+    f32). Backward body of the kernel's VJP (ops/diffable.py). Same
+    signature/outputs as :func:`reverse_echo_scan_pallas` (minus the
+    chunk/interpret knobs)."""
+    inv_plen = 1.0 / plen
+    half = plen / 2.0
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    def step(carry, inp):
+        ba, bb, pb, st = carry
+        (cur_is_a, p_wpos, p_rpos, w_idx, r_idx, smoothed,
+         cur_block, prev_block, reverse) = st
+        xi, blk_, ratio_, fb_, alt_ = inp
+
+        t = blk_ * f32(sr)
+        t = jnp.where(t != t, f32(min_block), t)  # NaN guard
+        target = jnp.round(jnp.clip(t, f32(min_block), f32(max_block)))
+        smoothed = smoothed + (target - smoothed) * f32(smooth_alpha)
+        cur_block = jnp.where(
+            w_idx == 0,
+            jnp.clip(
+                jnp.round(smoothed), f32(min_block), f32(max_block)
+            ).astype(i32),
+            cur_block,
+        )
+
+        # --- pitch shifter: write, dual-head read ---
+        pb = jax.lax.dynamic_update_slice_in_dim(pb, xi[None], p_wpos, 0)
+        p_wpos = jax.lax.rem(p_wpos + i32(1), i32(plen))
+
+        pos = p_rpos - jnp.floor(p_rpos * f32(inv_plen)) * plen
+        i0 = jnp.clip(jnp.floor(pos).astype(i32), i32(0), i32(plen - 1))
+        i1 = jax.lax.rem(i0 + i32(1), i32(plen))
+        frac = pos - i0.astype(f32)
+        pos2 = pos + f32(half)
+        pos2 = pos2 - jnp.floor(pos2 * f32(inv_plen)) * plen
+        i2 = jnp.clip(jnp.floor(pos2).astype(i32), i32(0), i32(plen - 1))
+        i3 = jax.lax.rem(i2 + i32(1), i32(plen))
+        frac2 = pos2 - i2.astype(f32)
+        dist = jnp.abs(p_rpos - p_wpos.astype(f32))
+        dist = jnp.where(dist > f32(half), f32(plen) - dist, dist)
+        f = dist * f32(1.0 / half)
+        row = lambda b, k: jax.lax.dynamic_slice_in_dim(b, k, 1, 0)[0]
+        s1 = (1.0 - frac) * row(pb, i0) + frac * row(pb, i1)
+        s2 = (1.0 - frac2) * row(pb, i2) + frac2 * row(pb, i3)
+        pitched = f * s1 + (1.0 - f) * s2
+        near_unity = jnp.abs(ratio_ - 1.0) < 1e-4
+        pitched = jnp.where(near_unity, xi, pitched)
+        p_rpos = p_rpos + ratio_
+        p_rpos = p_rpos - jnp.floor(p_rpos * f32(inv_plen)) * plen
+
+        # --- reverse playback of the previous block ---
+        idx = jnp.where(reverse == 1, prev_block - 1 - r_idx, r_idx)
+        playing = (
+            (prev_block > 0) & (r_idx < prev_block)
+            & (idx >= 0) & (idx < prev_block)
+        )
+        wpos = jnp.where(
+            prev_block > 1,
+            r_idx.astype(f32)
+            / jnp.maximum(prev_block - 1, 1).astype(f32),
+            f32(0.0),
+        )
+        window = 0.5 - 0.5 * jnp.cos(
+            f32(2.0 * 3.14159265358979323846) * wpos
+        )
+        rrow = jnp.clip(idx, i32(0), i32(cap - 1))
+        wet_raw = jnp.where(cur_is_a == 1, row(bb, rrow), row(ba, rrow))
+        wet = jnp.where(playing, wet_raw * window, f32(0.0))
+
+        # --- write into the current block with feedback ---
+        write_val = pitched + wet * fb_
+        new_a = jnp.where(cur_is_a == 1, write_val, row(ba, w_idx))
+        new_b = jnp.where(cur_is_a == 1, row(bb, w_idx), write_val)
+        ba = jax.lax.dynamic_update_slice_in_dim(ba, new_a[None], w_idx, 0)
+        bb = jax.lax.dynamic_update_slice_in_dim(bb, new_b[None], w_idx, 0)
+
+        # --- advance; swap buffers when the block completes ---
+        w_idx = w_idx + 1
+        r_idx = r_idx + 1
+        done = w_idx >= cur_block
+        cur_is_a = jnp.where(done, 1 - cur_is_a, cur_is_a)
+        prev_block = jnp.where(done, cur_block, prev_block)
+        reverse = jnp.where(
+            done, jnp.where(alt_ >= 0.5, 1 - reverse, i32(1)), reverse
+        )
+        w_idx = jnp.where(done, i32(0), w_idx)
+        r_idx = jnp.where(done, i32(0), r_idx)
+        st = (cur_is_a, p_wpos, p_rpos, w_idx, r_idx, smoothed,
+              cur_block, prev_block, reverse)
+        return (ba, bb, pb, st), wet
+
+    st0 = (
+        misc[0].astype(i32), misc[1].astype(i32), misc[2].astype(f32),
+        misc[3].astype(i32), misc[4].astype(i32), misc[5].astype(f32),
+        misc[6].astype(i32), misc[7].astype(i32), misc[8].astype(i32),
+    )
+    cols = lambda a: a.astype(f32)
+    (ba, bb, pb, st), y = jax.lax.scan(
+        step,
+        (buf_a, buf_b, pitch_buf, st0),
+        (x, cols(blk), cols(ratio), cols(fb), cols(alt)),
+    )
+    misc2 = jnp.stack([
+        st[0].astype(f32), st[1].astype(f32), st[2],
+        st[3].astype(f32), st[4].astype(f32), st[5],
+        st[6].astype(f32), st[7].astype(f32), st[8].astype(f32),
+    ])
+    return y, ba, bb, pb, misc2
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "plen", "cap", "min_block", "max_block",
@@ -226,50 +343,66 @@ def reverse_echo_scan_pallas(x, blk, ratio, fb, alt, buf_a, buf_b,
     (fb pre-clipped, ratio pre-floored like the scan path);
     buf_a/buf_b: (cap, C); pitch_buf: (plen, C); misc: (9,) f32 in
     MISC_FIELDS order. Returns (wet (T, C), buf_a', buf_b',
-    pitch_buf', misc')."""
+    pitch_buf', misc').
+
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    replays :func:`reverse_echo_scan_ref` (ops/diffable.py)."""
     T, C = x.shape
     assert C <= _LANES
     padC = _LANES - C
     Tp = -(-T // chunk) * chunk
     padT = Tp - T
 
-    xp = jnp.pad(x, ((0, padT), (0, padC)))
-    colp = lambda a: jnp.pad(
-        a[:, None].astype(jnp.float32), ((0, padT), (0, 0))
-    )
-    pad_buf = lambda b: jnp.pad(b, ((0, 0), (0, padC)))
-    miscp = jnp.pad(misc.astype(jnp.float32), (0, _LANES - 9))[None, :]
+    def kernel_branch(x, blk, ratio, fb, alt, buf_a, buf_b, pitch_buf,
+                      misc):
+        xp = jnp.pad(x, ((0, padT), (0, padC)))
+        colp = lambda a: jnp.pad(
+            a[:, None].astype(jnp.float32), ((0, padT), (0, 0))
+        )
+        pad_buf = lambda b: jnp.pad(b, ((0, 0), (0, padC)))
+        miscp = jnp.pad(misc.astype(jnp.float32), (0, _LANES - 9))[None, :]
 
-    big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
-                       memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((cap, _LANES), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((plen, _LANES), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
-    y, ba2, bb2, pb2, misc2 = pl.pallas_call(
-        _make_kernel(sr, plen, cap, min_block, max_block, smooth_alpha,
-                     chunk, T),
-        out_shape=(
-            jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((cap, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((cap, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((plen, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
-        ),
-        grid=(Tp // chunk,),
-        in_specs=[big, col, col, col, col, bspec, bspec, pspec, mspec],
-        out_specs=(big, bspec, bspec, pspec, mspec),
-        scratch_shapes=[
-            pltpu.VMEM((cap, _LANES), jnp.float32),
-            pltpu.VMEM((cap, _LANES), jnp.float32),
-            pltpu.VMEM((plen, _LANES), jnp.float32),
-            pltpu.VMEM((1, _LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xp, colp(blk), colp(ratio), colp(fb), colp(alt),
-      pad_buf(buf_a), pad_buf(buf_b), pad_buf(pitch_buf), miscp)
-    return y[:T, :C], ba2[:, :C], bb2[:, :C], pb2[:, :C], misc2[0, :9]
+        big = pl.BlockSpec((chunk, _LANES), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((chunk, 1), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((cap, _LANES), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+        pspec = pl.BlockSpec((plen, _LANES), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1, _LANES), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+        y, ba2, bb2, pb2, misc2 = pl.pallas_call(
+            _make_kernel(sr, plen, cap, min_block, max_block, smooth_alpha,
+                         chunk, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tp, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((cap, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((cap, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((plen, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
+            ),
+            grid=(Tp // chunk,),
+            in_specs=[big, col, col, col, col, bspec, bspec, pspec, mspec],
+            out_specs=(big, bspec, bspec, pspec, mspec),
+            scratch_shapes=[
+                pltpu.VMEM((cap, _LANES), jnp.float32),
+                pltpu.VMEM((cap, _LANES), jnp.float32),
+                pltpu.VMEM((plen, _LANES), jnp.float32),
+                pltpu.VMEM((1, _LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xp, colp(blk), colp(ratio), colp(fb), colp(alt),
+          pad_buf(buf_a), pad_buf(buf_b), pad_buf(pitch_buf), miscp)
+        return y[:T, :C], ba2[:, :C], bb2[:, :C], pb2[:, :C], misc2[0, :9]
+
+    def scan_branch(x, blk, ratio, fb, alt, buf_a, buf_b, pitch_buf, misc):
+        return reverse_echo_scan_ref(
+            x, blk, ratio, fb, alt, buf_a, buf_b, pitch_buf, misc,
+            sr=sr, plen=plen, cap=cap, min_block=min_block,
+            max_block=max_block, smooth_alpha=smooth_alpha,
+        )
+
+    return kernel_with_scan_vjp(kernel_branch, scan_branch)(
+        x, blk, ratio, fb, alt, buf_a, buf_b, pitch_buf, misc
+    )

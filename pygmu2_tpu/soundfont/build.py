@@ -124,8 +124,8 @@ def build_sf2(
             s["rate"],
             s.get("root_key", 60),
             s.get("pitch_correction", 0),
-            0,
-            1,  # MONO
+            s.get("sample_link", 0),  # linked sample index (stereo pairs)
+            s.get("sample_type", 1),  # 1=MONO, 2=RIGHT, 4=LEFT
         )
 
         # instrument zone generators (key/vel range first, sample id last)
@@ -144,7 +144,12 @@ def build_sf2(
         ]:
             if key in s:
                 gens.append((gen_id, s[key]))
-        gens.append((GEN_SAMPLE_MODES, 1 if s.get("loop", True) else 0))
+        gens.append(
+            (
+                GEN_SAMPLE_MODES,
+                s.get("loop_mode", 1 if s.get("loop", True) else 0),
+            )
+        )
         gens.append((GEN_SAMPLE_ID, i))
 
         ibag += struct.pack("<HH", len(igen) // 4, 0)
