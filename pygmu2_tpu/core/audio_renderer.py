@@ -145,14 +145,28 @@ class AudioRenderer(Renderer):
         stop_at = end if end is not None else extent.end
         stop_flag = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put so stream_stop() can always unblock the feeder:
+            # after stop, nothing drains the queue, and a daemon thread
+            # parked in q.put() at interpreter exit aborts the process
+            # mid-XLA-call.
+            while not stop_flag.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def feeder():
             pos = start
             while not stop_flag.is_set():
                 if stop_at is not None and pos >= stop_at:
-                    q.put(None)
+                    put(None)
                     return
                 snippet = self._source.render(pos, self._blocksize)
-                q.put(np.ascontiguousarray(snippet.data))
+                if not put(np.ascontiguousarray(snippet.data)):
+                    return
                 pos += self._blocksize
 
         self._feeder_stop = stop_flag
@@ -193,6 +207,11 @@ class AudioRenderer(Renderer):
             stream.stop()
             stream.close()
             self._cb_stream = None
+        feeder = getattr(self, "_feeder", None)
+        if feeder is not None and feeder.is_alive():
+            # Let an in-flight render finish — a daemon thread killed
+            # inside an XLA call at interpreter exit aborts the process.
+            feeder.join(timeout=5.0)
         self._stream_done.set()
 
     def stream_wait(self, timeout: float | None = None) -> bool:

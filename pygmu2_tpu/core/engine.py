@@ -337,6 +337,7 @@ class Program:
         self.duration = int(duration)
         self.sample_rate = root.sample_rate
         self._state_nodes: list = []
+        self._walked = _walk(root)
         # Host prelude: let PEs materialize host-side caches (e.g.
         # TralfamPE's one-time spectral scramble) OUTSIDE the trace —
         # a nested pe.render() inside _trace would inline into the
@@ -369,7 +370,17 @@ class Program:
     # ---- host-side driver ----------------------------------------------
 
     def run(self, start: int):
-        """Render one block at ``start``, threading instance-held state."""
+        """Render one block at ``start``, threading instance-held state.
+
+        Live-control writes win: a thread-safe state write that lands
+        while the block is in flight (``ControlPE.set_value``,
+        ``TimeWarpPE.seek`` — they bump the PE's ``_eng_version``) is
+        NOT clobbered by the post-render scatter; only the engine's
+        timeline bookkeeping (``next``) is taken from the render, so the
+        externally-written payload applies to the next contiguous block.
+        """
+        pes = self._walked
+        versions = [getattr(pe, "_eng_version", 0) for pe in pes]
         states = _gather_states(self.root)
         if states is None:
             out, new_states = self._fn_first(jnp.asarray(start, dtype=prec.INDEX))
@@ -377,7 +388,24 @@ class Program:
             out, new_states = self._fn_step(
                 jnp.asarray(start, dtype=prec.INDEX), states
             )
-        _scatter_states(self.root, new_states)
+        for pe, ver in zip(pes, versions):
+            key = f"pe{pe._uid}"
+            if key not in new_states:
+                continue
+            if getattr(pe, "_eng_version", 0) != ver:
+                # External write landed during this render (possibly
+                # during the FIRST block's compile, whose traced init
+                # already baked the old value): take the PE's live
+                # payload, and only the timeline bookkeeping from the
+                # render.
+                live = getattr(pe, "_eng_live_state", None)
+                cur = getattr(pe, "_eng_state", None)
+                user = live() if live is not None else (
+                    cur["user"] if cur is not None else new_states[key]["user"]
+                )
+                pe._eng_state = {"user": user, "next": new_states[key]["next"]}
+            else:
+                pe._eng_state = new_states[key]
         return out
 
     def run_static(self, start: int):

@@ -230,6 +230,9 @@ class ControlPE(SourcePE):
 
         with self._lock:
             self._pending = float(value)
+            # version bump: tells Program.run an external write landed,
+            # so an in-flight block's scatter must not clobber it
+            self._eng_version = getattr(self, "_eng_version", 0) + 1
             if self._eng_state is not None:
                 self._eng_state = {
                     "user": jnp.asarray(np.float32(value)),
@@ -239,6 +242,14 @@ class ControlPE(SourcePE):
     @property
     def value(self) -> float:
         return self._pending
+
+    def _eng_live_state(self):
+        """Live payload for the engine's external-write-wins scatter
+        guard (engine.Program.run)."""
+        import numpy as np
+
+        with self._lock:
+            return jnp.asarray(np.float32(self._pending))
 
     def is_pure(self) -> bool:
         return False

@@ -21,6 +21,7 @@ prefix sum of rates is parallel); WindowPE's sliding max/min compile to
 from __future__ import annotations
 
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -128,6 +129,8 @@ class TimeWarpPE(ProcessingElement):
         self._rate_is_pe = isinstance(rate, ProcessingElement)
         self._interpolation = interpolation
         self._max_rate = abs(float(rate)) if not self._rate_is_pe else float(max_rate)
+        self._pos_lock = threading.Lock()
+        self._pending_pos = 0.0
 
     @property
     def source(self) -> ProcessingElement:
@@ -140,6 +143,41 @@ class TimeWarpPE(ProcessingElement):
     @property
     def interpolation(self) -> InterpolationMode:
         return self._interpolation
+
+    def seek(self, position: float) -> None:
+        """Thread-safe tape-head seek: takes effect on the next block.
+
+        Mirrors :meth:`ControlPE.set_value` — the live position rides in
+        the carried state pytree, so scrubbing from a UI thread never
+        retraces (the reference's jog/shuttle player pokes its
+        ``TimeWarpPE._pos`` the same way; scripts/jogshuttle.py:628-648).
+        Seeking before the first render sets the initial tape position.
+        """
+        with self._pos_lock:
+            self._pending_pos = float(position)
+            # version bump: an in-flight block's scatter must not clobber
+            # this write (engine.Program.run live-control-wins rule)
+            self._eng_version = getattr(self, "_eng_version", 0) + 1
+            st = getattr(self, "_eng_state", None)
+            if st is not None:
+                self._eng_state = {
+                    "user": jnp.asarray(float(position), prec.WIDE),
+                    "next": st["next"],
+                }
+
+    @property
+    def position(self) -> float:
+        """Current tape-head position in source samples (host read)."""
+        st = getattr(self, "_eng_state", None)
+        if st is not None:
+            return float(st["user"])
+        return self._pending_pos
+
+    def _eng_live_state(self):
+        """Live payload for the engine's external-write-wins scatter
+        guard (engine.Program.run)."""
+        with self._pos_lock:
+            return jnp.asarray(self._pending_pos, prec.WIDE)
 
     def inputs(self) -> list[ProcessingElement]:
         if self._rate_is_pe:
@@ -180,7 +218,9 @@ class TimeWarpPE(ProcessingElement):
     def _trace(self, ctx):
         T = ctx.duration
         rate = ctx.param(self._rate, dtype=prec.WIDE)
-        pos0, _ = ctx.state(self, init=jnp.zeros((), prec.WIDE))
+        with self._pos_lock:
+            init_pos = self._pending_pos  # trace-time constant (like ControlPE)
+        pos0, _ = ctx.state(self, init=jnp.asarray(init_pos, prec.WIDE))
         prefix = jnp.concatenate(
             [jnp.zeros((1,), prec.WIDE), jnp.cumsum(rate[:-1])]
         )
