@@ -154,15 +154,26 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
         float(chain(jnp.int32(2)))  # compile + warm
-        t1s, t2s = [], []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chain(jnp.int32(k1)))
-            t1s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(chain(jnp.int32(k2)))
-            t2s.append(time.perf_counter() - t0)
-        return (min(t2s) - min(t1s)) / (k2 - k1) * 1e3
+
+        def measure(k_lo, k_hi):
+            t1s, t2s = [], []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chain(jnp.int32(k_lo)))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(chain(jnp.int32(k_hi)))
+                t2s.append(time.perf_counter() - t0)
+            return min(t2s) - min(t1s)
+
+        # Escalate the trip count until the differenced total clears the
+        # tunnel jitter floor (~20 ms) — a PE at thousands of Msmp/s
+        # costs only ~10 us per render, invisible at 24 extra trips.
+        for k_hi in (k2, 252, 2044):
+            diff_s = measure(k1, k_hi)
+            if diff_s >= 0.02:
+                break
+        return diff_s / (k_hi - k1) * 1e3
 
     for name, build in configs.items():
         try:
