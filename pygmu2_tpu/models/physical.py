@@ -351,6 +351,67 @@ class CombPE(ProcessingElement):
         )
         smooth_alpha = 1.0 / self._smoothing_samples
 
+        # --- constant-frequency fast path (ops/comb_block.py) ----------
+        # With a static scalar frequency the one-pole smoother is a
+        # bitwise fixed point (sf == f32(f) from the first sample), so
+        # the delay is a compile-time constant and the comb collapses to
+        # one fused multiply-add per d-sample block — arithmetically
+        # identical to the sequential kernel, ~50x faster.
+        fast_d = None
+        if not ctx.param_is_pe(self._frequency):
+            f_eff = np.maximum(
+                np.float32(float(self._frequency)),
+                np.float32(self._min_frequency),
+            )
+            d_static = int(
+                np.clip(
+                    np.round(np.float32(sr) / np.maximum(f_eff, np.float32(1.0))),
+                    1,
+                    L - 1,
+                )
+            )
+            if d_static >= 8:
+                fast_d = d_static
+
+        if fast_d is not None:
+            from pygmu2_tpu.ops.comb_block import comb_const_delay
+            from pygmu2_tpu.ops.comb_pallas import (
+                comb_scan_pallas,
+                comb_scan_ref,
+            )
+
+            fb_t = jnp.broadcast_to(fb, (T,)).astype(jnp.float32)
+            f32c = jnp.float32(f_eff)
+
+            def _fast(x, fbt, buf, pos, sf):
+                y, buf2, pos2 = comb_const_delay(
+                    x, fbt, buf, pos, d=fast_d, L=L
+                )
+                return y, buf2, pos2, jnp.full((), f32c, jnp.float32)
+
+            def _slow(x, fbt, buf, pos, sf):
+                # carried smoother state disagrees with the static
+                # frequency (e.g. a foreign checkpoint): sequential path
+                freq_t = jnp.broadcast_to(freq, (T,)).astype(jnp.float32)
+                if _dfb.kernel_path_enabled() and C <= 128:
+                    return comb_scan_pallas(
+                        x, freq_t, fbt, buf, pos, sf, L=L, sr=sr,
+                        smooth_alpha=float(smooth_alpha), chunk=512,
+                        interpret=_dfb.kernel_interpret(),
+                    )
+                return comb_scan_ref(
+                    x, freq_t, fbt, buf, pos, sf, L=L, sr=sr,
+                    smooth_alpha=float(smooth_alpha),
+                )
+
+            ok = (st["sf"] < 0.0) | (st["sf"] == f32c)
+            y, buf2, pos2, sf2 = jax.lax.cond(
+                ok, _fast, _slow,
+                x.astype(jnp.float32), fb_t, st["buf"], st["pos"], st["sf"],
+            )
+            ctx.set_state(self, {"buf": buf2, "pos": pos2, "sf": sf2})
+            return y.astype(prec.AUDIO)
+
         if _dfb.kernel_path_enabled() and C <= 128:
             # sequential Mosaic kernel with the ring buffer in VMEM
             # scratch (ops/comb_pallas.py) — lax.scan re-materializes the
@@ -472,6 +533,44 @@ class KarplusStrongPE(SourcePE):
         else:
             rho_t = jnp.full((ctx.duration,), self._rho, jnp.float32)
         active = t >= 0  # string exists from t=0; don't advance state before
+
+        if delay_len >= 16:
+            # block-parallel fast path (ops/ks_block.py): the string's
+            # dependence distance is delay_len - 1, so blocks of that
+            # size vectorize; only the rare partially-active render
+            # (start < 0) falls back to the sequential path.
+            from pygmu2_tpu.ops.ks_block import ks_blocked
+            from pygmu2_tpu.ops.ks_pallas import ks_scan_pallas, ks_scan_ref
+
+            def _fast(rho_t, active, buf, r, ai, ao):
+                return ks_blocked(
+                    rho_t, buf, r, ai, ao,
+                    L=delay_len, allpass_c=float(allpass_c),
+                )
+
+            def _slow(rho_t, active, buf, r, ai, ao):
+                if _dfb.kernel_path_enabled():
+                    return ks_scan_pallas(
+                        rho_t, active, buf, r, ai, ao,
+                        L=delay_len, allpass_c=float(allpass_c), chunk=512,
+                        interpret=_dfb.kernel_interpret(),
+                    )
+                return ks_scan_ref(
+                    rho_t, active, buf, r, ai, ao,
+                    L=delay_len, allpass_c=float(allpass_c),
+                )
+
+            y, buf2, r2, ai2, ao2 = jax.lax.cond(
+                jnp.all(active), _fast, _slow,
+                rho_t, active, st["buf"], st["r"], st["ap_in"], st["ap_out"],
+            )
+            ctx.set_state(
+                self, {"buf": buf2, "r": r2, "ap_in": ai2, "ap_out": ao2}
+            )
+            out = y.astype(prec.AUDIO)[:, None]
+            if self._channels > 1:
+                out = jnp.tile(out, (1, self._channels))
+            return out
 
         if _dfb.kernel_path_enabled():
             # sequential Mosaic kernel (ops/ks_pallas.py)

@@ -1,0 +1,176 @@
+"""Block-parallel fast paths vs the sequential scan references.
+
+ops/comb_block.py (constant-delay comb) must be arithmetically
+IDENTICAL to the sequential path — same per-sample op order, no
+reassociation. ops/ks_block.py (blocked Karplus-Strong) reassociates
+only the first-order allpass chain (static triangular matvec), so it
+gets a 1e-5 parity budget like the Mosaic kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pygmu2_tpu as pg
+from pygmu2_tpu.ops.comb_block import comb_const_delay
+from pygmu2_tpu.ops.comb_pallas import comb_scan_ref
+from pygmu2_tpu.ops.ks_block import ks_blocked
+from pygmu2_tpu.ops.ks_pallas import ks_scan_ref
+
+
+# ---- comb ---------------------------------------------------------------
+
+
+def _comb_ref_const(x, fb, buf, pos, sf, f, L, sr):
+    freq = jnp.full((x.shape[0],), jnp.float32(f))
+    return comb_scan_ref(
+        x, freq, fb, buf, pos, sf, L=L, sr=sr, smooth_alpha=1 / 2400
+    )
+
+
+@pytest.mark.parametrize("T,L,f", [(700, 201, 220.0), (96, 201, 220.0),
+                                   (512, 64, 800.0)])
+def test_comb_block_matches_scan(T, L, f):
+    rng = np.random.default_rng(7)
+    sr = 44100.0
+    C = 2
+    d = int(np.clip(np.round(np.float32(sr) / np.float32(f)), 1, L - 1))
+    x = jnp.asarray(rng.standard_normal((T, C)).astype(np.float32) * 0.3)
+    fb = jnp.asarray(rng.uniform(-0.9, 0.9, T).astype(np.float32))
+    buf = jnp.asarray(rng.standard_normal((L, C)).astype(np.float32) * 0.1)
+    pos = jnp.int32(rng.integers(0, L))
+    y1, b1, p1, s1 = _comb_ref_const(
+        x, fb, buf, pos, jnp.float32(-1.0), f, L, sr
+    )
+    y2, b2, p2 = comb_const_delay(x, fb, buf, pos, d=d, L=L)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-6)
+    assert int(p2) == int(p1)
+    assert float(s1) == np.float32(f)  # smoother is a bitwise fixed point
+
+
+def test_comb_block_state_continuation():
+    """Two chained fast renders == one long sequential render."""
+    rng = np.random.default_rng(3)
+    sr, L, f, C = 44100.0, 150, 441.0, 1
+    d = int(np.round(np.float32(sr) / np.float32(f)))  # 100
+    x = jnp.asarray(rng.standard_normal((400, C)).astype(np.float32))
+    fb = jnp.full((400,), 0.8, jnp.float32)
+    buf0 = jnp.zeros((L, C), jnp.float32)
+    y_ref, b_ref, p_ref, _ = _comb_ref_const(
+        x, fb, buf0, jnp.int32(0), jnp.float32(-1.0), f, L, sr
+    )
+    ya, ba, pa = comb_const_delay(x[:170], fb[:170], buf0, jnp.int32(0),
+                                  d=d, L=L)
+    yb, bb, pb = comb_const_delay(x[170:], fb[170:], ba, pa, d=d, L=L)
+    np.testing.assert_allclose(
+        np.concatenate([ya, yb]), np.asarray(y_ref), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(bb), np.asarray(b_ref), atol=1e-6)
+    assert int(pb) == int(p_ref)
+
+
+def test_comb_pe_fast_path_render_matches_sequential_graph():
+    """PE-level: the dispatched fast path equals the scan semantics."""
+    src = pg.NoisePE(seed=5)
+    pe = pg.CombPE(src, frequency=220.0, feedback=0.8)
+    out = np.asarray(pe.render(0, 1024).data)
+    # sequential oracle through comb_scan_ref on the same pulled input
+    x = np.asarray(pg.NoisePE(seed=5).render(0, 1024).data)
+    sr = 44100.0
+    L = max(2, int(np.ceil(sr / 20.0)) + 1)
+    y, _, _, _ = comb_scan_ref(
+        jnp.asarray(x), jnp.full((1024,), jnp.float32(220.0)),
+        jnp.full((1024,), jnp.float32(0.8)),
+        jnp.zeros((L, x.shape[1]), jnp.float32),
+        jnp.int32(0), jnp.float32(-1.0), L=L, sr=sr, smooth_alpha=1 / 2400,
+    )
+    np.testing.assert_allclose(out, np.asarray(y), atol=1e-6)
+
+
+# ---- Karplus-Strong ------------------------------------------------------
+
+
+@pytest.mark.parametrize("T,L", [(700, 200), (96, 200), (700, 17),
+                                 (2048, 600)])
+def test_ks_block_matches_scan(T, L):
+    rng = np.random.default_rng(11)
+    c = 0.42
+    rho = jnp.asarray(rng.uniform(0.95, 1.0, T).astype(np.float32))
+    act = jnp.ones((T,), bool)
+    buf = jnp.asarray(rng.standard_normal(L).astype(np.float32) * 0.3)
+    r = jnp.int32(rng.integers(0, L))
+    y1, b1, r1, ai1, ao1 = ks_scan_ref(
+        rho, act, buf, r, jnp.float32(0.0), jnp.float32(0.0),
+        L=L, allpass_c=c,
+    )
+    y2, b2, r2, ai2, ao2 = ks_blocked(
+        rho, buf, r, jnp.float32(0.0), jnp.float32(0.0), L=L, allpass_c=c,
+    )
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
+    assert int(r2) == int(r1)
+    np.testing.assert_allclose(float(ai2), float(ai1), atol=1e-5)
+    np.testing.assert_allclose(float(ao2), float(ao1), atol=1e-5)
+
+
+def test_ks_block_integer_period_allpass_c_one():
+    """frac == 0 gives allpass_c == 1 (non-decaying alternating chain)."""
+    T, L = 1024, 100
+    rng = np.random.default_rng(2)
+    rho = jnp.full((T,), 0.996, jnp.float32)
+    act = jnp.ones((T,), bool)
+    buf = jnp.asarray(rng.standard_normal(L).astype(np.float32) * 0.3)
+    y1, b1, *_ = ks_scan_ref(
+        rho, act, buf, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+        L=L, allpass_c=1.0,
+    )
+    y2, b2, *_ = ks_blocked(
+        rho, buf, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+        L=L, allpass_c=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
+
+
+def test_ks_block_state_continuation():
+    T, L, c = 500, 120, 0.3
+    rng = np.random.default_rng(9)
+    rho = jnp.asarray(rng.uniform(0.9, 1.0, T).astype(np.float32))
+    act = jnp.ones((T,), bool)
+    buf = jnp.asarray(rng.standard_normal(L).astype(np.float32) * 0.3)
+    yr, br, rr, air, aor = ks_scan_ref(
+        rho, act, buf, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+        L=L, allpass_c=c,
+    )
+    ya, ba, ra, aia, aoa = ks_blocked(
+        rho[:190], buf, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+        L=L, allpass_c=c,
+    )
+    yb, bb, rb, aib, aob = ks_blocked(
+        rho[190:], ba, ra, aia, aoa, L=L, allpass_c=c,
+    )
+    np.testing.assert_allclose(
+        np.concatenate([ya, yb]), np.asarray(yr), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(bb), np.asarray(br), atol=1e-5)
+    assert int(rb) == int(rr)
+
+
+def test_ks_pe_negative_start_falls_back_and_matches():
+    """Mixed-activity render (start < 0) routes to the sequential branch;
+    the inactive prefix is silent and doesn't advance the string."""
+    mixed = np.asarray(
+        pg.KarplusStrongPE(220.0, seed=1).render(-32, 96).data
+    )
+    active = np.asarray(pg.KarplusStrongPE(220.0, seed=1).render(0, 64).data)
+    assert np.all(mixed[:32] == 0.0)
+    np.testing.assert_allclose(mixed[32:], active, atol=1e-6)
+
+
+def test_ks_pe_chunked_matches_oneshot_fast_path():
+    one = np.asarray(pg.KarplusStrongPE(220.0, seed=1).render(0, 1024).data)
+    pe = pg.KarplusStrongPE(220.0, seed=1)
+    parts = [np.asarray(pe.render(s, 128).data) for s in range(0, 1024, 128)]
+    np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
