@@ -162,48 +162,128 @@ class ReversePitchEchoPE(ProcessingElement):
         min_block = self._MIN_BLOCK_SAMPLES
         max_block = max_delay - 1
 
-        # Sequential Mosaic kernel when the ring buffers fit VMEM
-        # (cap <= ~9500 rows; shrink max_delay_seconds to engage it).
-        if (
+        pallas_ok = (
             _dfb.kernel_path_enabled()
             and C <= 128
             and (2 * max_delay + pitch_len + 2) * 512 <= 10 * 2**20
+        )
+
+        def run_sequential(xf, fbv, st_in):
+            """Per-sample path (Mosaic kernel in VMEM, else lax.scan).
+            Returns (wet, new_state)."""
+            if pallas_ok:
+                from pygmu2_tpu.ops.reverse_echo_pallas import (
+                    MISC_FIELDS,
+                    reverse_echo_scan_pallas,
+                )
+
+                misc = jnp.stack(
+                    [st_in[k].astype(jnp.float32) for k in MISC_FIELDS]
+                )
+                wet, ba2, bb2, pb2, misc2 = reverse_echo_scan_pallas(
+                    xf,
+                    block_v, pitch_v, fbv, alt_v,
+                    st_in["buf_a"], st_in["buf_b"], st_in["pitch_buf"],
+                    misc,
+                    sr=sr, plen=pitch_len, cap=max_delay,
+                    min_block=min_block, max_block=max_block,
+                    smooth_alpha=smooth_alpha,
+                    interpret=_dfb.kernel_interpret(),
+                )
+                return wet, {
+                    "buf_a": ba2,
+                    "buf_b": bb2,
+                    "pitch_buf": pb2,
+                    "cur_is_a": misc2[0].astype(jnp.int32),
+                    "p_wpos": misc2[1].astype(jnp.int32),
+                    "p_rpos": misc2[2],
+                    "w_idx": misc2[3].astype(jnp.int32),
+                    "r_idx": misc2[4].astype(jnp.int32),
+                    "smoothed": misc2[5],
+                    "cur_block": misc2[6].astype(jnp.int32),
+                    "prev_block": misc2[7].astype(jnp.int32),
+                    "reverse": misc2[8].astype(jnp.int32),
+                }
+            final, y = jax.lax.scan(
+                _step, st_in, (xf, block_v, pitch_v, fbv, alt_v), unroll=32
+            )
+            return y, final
+
+        # --- static-parameter block fast path (ops/reverse_echo_block) -
+        # Engages when block_seconds is a static scalar whose sample
+        # count is an exact f32 fixed point of the smoother, pitch_ratio
+        # is a static near-unity scalar (kernel bypasses the shifter
+        # bitwise), and alternate_direction is static. The recurrence
+        # then only binds at block-swap granularity: one vectorized scan
+        # step per block period instead of per sample.
+        fast_Lb = None
+        if (
+            not ctx.param_is_pe(self._block_seconds)
+            and not ctx.param_is_pe(self._pitch_ratio)
+            and not ctx.param_is_pe(self._alternate_direction)
+            and abs(float(self._pitch_ratio) - 1.0) < 1e-4
         ):
-            from pygmu2_tpu.ops.reverse_echo_pallas import (
-                MISC_FIELDS,
-                reverse_echo_scan_pallas,
+            import numpy as np
+
+            blk32 = np.float32(
+                np.float32(self._block_seconds) * np.float32(sr)
+            )
+            t32 = np.float32(
+                np.round(
+                    np.clip(
+                        np.nan_to_num(blk32, nan=float(min_block)),
+                        min_block,
+                        max_block,
+                    )
+                )
+            )
+            if np.float32(init_block) == t32:
+                fast_Lb = int(t32)
+
+        if fast_Lb is not None:
+            from pygmu2_tpu.ops.reverse_echo_block import (
+                reverse_echo_aligned,
             )
 
-            misc = jnp.stack(
-                [st[k].astype(jnp.float32) for k in MISC_FIELDS]
-            )
-            wet, ba2, bb2, pb2, misc2 = reverse_echo_scan_pallas(
-                x.astype(jnp.float32),
-                block_v, pitch_v, fb_v, alt_v,
-                st["buf_a"], st["buf_b"], st["pitch_buf"], misc,
-                sr=sr, plen=pitch_len, cap=max_delay,
-                min_block=min_block, max_block=max_block,
-                smooth_alpha=smooth_alpha,
-                interpret=_dfb.kernel_interpret(),
-            )
-            new_st = {
-                "buf_a": ba2,
-                "buf_b": bb2,
-                "pitch_buf": pb2,
-                "cur_is_a": misc2[0].astype(jnp.int32),
-                "p_wpos": misc2[1].astype(jnp.int32),
-                "p_rpos": misc2[2],
-                "w_idx": misc2[3].astype(jnp.int32),
-                "r_idx": misc2[4].astype(jnp.int32),
-                "smoothed": misc2[5],
-                "cur_block": misc2[6].astype(jnp.int32),
-                "prev_block": misc2[7].astype(jnp.int32),
-                "reverse": misc2[8].astype(jnp.int32),
-            }
-            ctx.set_state(self, new_st)
-            return wet.astype(prec.AUDIO)
+            Lb = fast_Lb
+            alternate = float(self._alternate_direction) >= 0.5
 
-        def step(s, inp):
+            def _fast(xf, fbv, st_in):
+                (
+                    wet, ba2, bb2, pb2, cia2, pw2, pr2, w2, prev2, rev2,
+                ) = reverse_echo_aligned(
+                    xf, fbv,
+                    st_in["buf_a"], st_in["buf_b"], st_in["pitch_buf"],
+                    st_in["cur_is_a"], st_in["p_wpos"], st_in["p_rpos"],
+                    st_in["w_idx"], st_in["prev_block"], st_in["reverse"],
+                    Lb=Lb, plen=pitch_len,
+                    ratio=float(self._pitch_ratio), alternate=alternate,
+                )
+                return wet, {
+                    "buf_a": ba2,
+                    "buf_b": bb2,
+                    "pitch_buf": pb2,
+                    "cur_is_a": cia2,
+                    "p_wpos": pw2,
+                    "p_rpos": pr2,
+                    "w_idx": w2,
+                    "r_idx": w2,
+                    "smoothed": st_in["smoothed"],
+                    "cur_block": st_in["cur_block"],
+                    "prev_block": prev2,
+                    "reverse": rev2,
+                }
+
+            ok = (
+                (st["smoothed"] == jnp.float32(Lb))
+                & (st["cur_block"] == Lb)
+                & (st["w_idx"] == st["r_idx"])
+                & (st["w_idx"] >= 0)
+                & (st["w_idx"] < Lb)
+                & ((st["prev_block"] == 0) | (st["prev_block"] == Lb))
+            )
+
+        def _step(s, inp):
             xi, blk, ratio, fb, alt = inp
 
             target = jnp.round(
@@ -313,9 +393,28 @@ class ReversePitchEchoPE(ProcessingElement):
             }
             return new, wet
 
-        final, y = jax.lax.scan(step, st, (x, block_v, pitch_v, fb_v, alt_v), unroll=32)
-        ctx.set_state(self, final)
-        return y.astype(prec.AUDIO)
+        def _slow_scan(xf, fbv, st_in):
+            # cond fallback for misaligned/restored state. Deliberately
+            # the lax.scan body, NOT the Mosaic kernel: the remote TPU
+            # compiler hangs (>9 min, reproduced in isolation) lowering
+            # this kernel's custom call inside a lax.cond branch, while
+            # both branches alone compile in seconds. Misaligned state is
+            # the rare case (one partial chunk after a foreign restore);
+            # steady-state traffic takes the fast branch.
+            final, yy = jax.lax.scan(
+                _step, st_in, (xf, block_v, pitch_v, fbv, alt_v), unroll=32
+            )
+            return yy, final
+
+        if fast_Lb is not None:
+            wet, new_st = jax.lax.cond(
+                ok, _fast, _slow_scan,
+                x.astype(jnp.float32), fb_v, st,
+            )
+        else:
+            wet, new_st = run_sequential(x.astype(jnp.float32), fb_v, st)
+        ctx.set_state(self, new_st)
+        return wet.astype(prec.AUDIO)
 
     def __repr__(self) -> str:
         return f"ReversePitchEchoPE(source={type(self._source).__name__})"

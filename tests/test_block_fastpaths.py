@@ -174,3 +174,62 @@ def test_ks_pe_chunked_matches_oneshot_fast_path():
     pe = pg.KarplusStrongPE(220.0, seed=1)
     parts = [np.asarray(pe.render(s, 128).data) for s in range(0, 1024, 128)]
     np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
+
+
+# ---- reverse echo ---------------------------------------------------------
+
+
+def _revecho(fast, alt=0.0, blk=0.05, fb=0.6, seed=3):
+    """ratio as a ConstantPE defeats the static fast path (same math:
+    the kernel's near_unity select bypasses the pitch stage either way)."""
+    src = pg.NoisePE(seed=seed)
+    ratio = 1.0 if fast else pg.ConstantPE(1.0)
+    return pg.ReversePitchEchoPE(
+        src, block_seconds=blk, pitch_ratio=ratio, feedback=fb,
+        alternate_direction=alt, max_delay_seconds=0.2,
+    )
+
+
+@pytest.mark.parametrize("alt", [0.0, 1.0])
+def test_revecho_block_matches_sequential(alt):
+    a = np.asarray(_revecho(True, alt).render(0, 4000).data)
+    b = np.asarray(_revecho(False, alt).render(0, 4000).data)
+    assert float(np.sqrt((a ** 2).mean())) > 0.1  # effect actually rings
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_revecho_block_chunked_matches_oneshot():
+    one = np.asarray(_revecho(True).render(0, 4000).data)
+    # misaligned chunk starts: the cond falls back to sequential mid-run
+    pe = _revecho(True)
+    parts = [
+        np.asarray(pe.render(s, min(617, 4000 - s)).data)
+        for s in range(0, 4000, 617)
+    ]
+    np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
+    # block-aligned chunks: every chunk takes the fast path
+    pe2 = _revecho(True)
+    parts2 = [np.asarray(pe2.render(s, 400).data) for s in range(0, 4000, 400)]
+    np.testing.assert_allclose(np.concatenate(parts2), one, atol=1e-5)
+
+
+def test_revecho_non_integer_block_rejects_fast_path():
+    """A block length that is not an f32 smoother fixed point must route
+    to the sequential path (and still match the PE-param oracle)."""
+    a = np.asarray(_revecho(True, blk=0.05003).render(0, 2000).data)
+    b = np.asarray(_revecho(False, blk=0.05003).render(0, 2000).data)
+    np.testing.assert_allclose(a, b, atol=0.0)  # same sequential trace
+
+
+def test_revecho_block_state_handoff_into_sequential():
+    """Fast-path final state must be consumable by the sequential path:
+    render chunk 1 fast (aligned), chunk 2 lands mid-block (sequential),
+    chunk 3 aligned again (fast)."""
+    one = np.asarray(_revecho(True).render(0, 3000).data)
+    pe = _revecho(True)
+    parts = [
+        np.asarray(pe.render(0, 800).data),     # aligned: fast (2 blocks)
+        np.asarray(pe.render(800, 1000).data),  # ends mid-block
+        np.asarray(pe.render(1800, 1200).data), # starts mid-block: seq
+    ]
+    np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
