@@ -249,58 +249,53 @@ class AdsrGatedPE(_AdsrBase):
         st, _ = ctx.state(self, init=init)
         sus = self._sustain_level
 
-        if _dfb.kernel_path_enabled():
-            # sequential Mosaic kernel: (stage, e0, n) count-based state,
-            # env recomputed as e0 + n*dvdt each sample (no f64 carry
-            # needed — one rounding regardless of segment length)
-            from pygmu2_tpu.ops.adsr_pallas import (
-                adsr_scan_pallas,
-                env_of_state,
-            )
+        # Closed-form primary path (ops/adsr_block.py): the envelope
+        # depends only on the gate's edge pattern and deterministic clip
+        # crossings, so it factors into a tiny scan over the EDGES plus
+        # one vectorized evaluation (OPTIMIZING.md 2c). The edge scan's
+        # cost is linear in the CAP, not the actual edge count, so
+        # dispatch is tiered by this block's edge count (8 / 32 /
+        # sequential kernel) — see ops/adsr_block.adsr_tiered.
+        from pygmu2_tpu.ops.adsr_block import adsr_tiered
+        from pygmu2_tpu.ops.adsr_pallas import (
+            adsr_scan_pallas,
+            adsr_scan_ref,
+            env_of_state,
+        )
 
-            kw = dict(
-                dA=self._attack_dvdt,
-                dD=self._decay_dvdt,
-                dR=self._release_dvdt,
-                sus=sus,
-            )
-            kst = jnp.stack(
-                [
-                    st["stage"].astype(jnp.float32),
-                    st["env"].astype(jnp.float32),
-                    jnp.float32(0.0),
-                    st["prev_gate"].astype(jnp.float32),
-                ]
-            )
-            y, ns = adsr_scan_pallas(
-                gate.astype(jnp.float32), kst,
-                interpret=_dfb.kernel_interpret(), **kw,
-            )
-            ctx.set_state(
-                self,
-                {
-                    "stage": ns[0].astype(jnp.int32),
-                    "env": env_of_state(ns, **kw).astype(prec.WIDE),
-                    "prev_gate": ns[3].astype(prec.AUDIO),
-                },
-            )
-            return y.astype(prec.AUDIO)[:, None]
+        kw = dict(
+            dA=self._attack_dvdt,
+            dD=self._decay_dvdt,
+            dR=self._release_dvdt,
+            sus=sus,
+        )
+        kst = jnp.stack(
+            [
+                st["stage"].astype(jnp.float32),
+                st["env"].astype(jnp.float32),
+                jnp.float32(0.0),
+                st["prev_gate"].astype(jnp.float32),
+            ]
+        )
+        g32 = gate.astype(jnp.float32)
 
-        def step(carry, g):
-            out = carry["env"]
-            rising = (carry["prev_gate"] == 0.0) & (g == 1.0)
-            falling = (carry["prev_gate"] == 1.0) & (g == 0.0)
-            stage = jnp.where(
-                rising,
-                _ATTACK,
-                jnp.where(falling, _RELEASE, carry["stage"]),
-            ).astype(jnp.int32)
-            stage, env = self._segment_step(stage, carry["env"], sus)
-            return {"stage": stage, "env": env, "prev_gate": g}, out
+        def _seq(g, s4):
+            if _dfb.kernel_path_enabled():
+                return adsr_scan_pallas(
+                    g, s4, interpret=_dfb.kernel_interpret(), **kw
+                )
+            return adsr_scan_ref(g, s4, **kw)
 
-        final, out = jax.lax.scan(step, st, gate, unroll=32)
-        ctx.set_state(self, final)
-        return out.astype(prec.AUDIO)[:, None]
+        y, ns = adsr_tiered(g32, kst, seq_fn=_seq, **kw)
+        ctx.set_state(
+            self,
+            {
+                "stage": ns[0].astype(jnp.int32),
+                "env": env_of_state(ns, **kw).astype(prec.WIDE),
+                "prev_gate": ns[3].astype(prec.AUDIO),
+            },
+        )
+        return y.astype(prec.AUDIO)[:, None]
 
     def __repr__(self) -> str:
         return (
@@ -351,11 +346,15 @@ class AdsrTriggeredPE(_AdsrBase):
         sus = self._sustain_level
 
         S = self._sustain_samples
-        if _dfb.kernel_path_enabled() and 0 < S < (1 << 24):
-            # sequential Mosaic kernel; the absolute sustain deadline is
-            # converted to a samples-since-entry count (see adsr_pallas)
+        if 0 < S < (1 << 24):
+            # closed-form primary path, tiered by trigger count with a
+            # sequential fallback (see AdsrGatedPE._trace); the absolute
+            # sustain deadline is converted to a samples-since-entry
+            # count (see adsr_pallas)
+            from pygmu2_tpu.ops.adsr_block import adsr_tiered
             from pygmu2_tpu.ops.adsr_pallas import (
                 adsr_scan_pallas,
+                adsr_scan_ref,
                 env_of_state,
             )
 
@@ -383,9 +382,18 @@ class AdsrTriggeredPE(_AdsrBase):
                     jnp.float32(0.0),
                 ]
             )
-            y, ns = adsr_scan_pallas(
-                trig.astype(jnp.float32), kst, sustain_samples=S,
-                interpret=_dfb.kernel_interpret(), **kw,
+            g32 = trig.astype(jnp.float32)
+
+            def _seq(g, s4):
+                if _dfb.kernel_path_enabled():
+                    return adsr_scan_pallas(
+                        g, s4, sustain_samples=S,
+                        interpret=_dfb.kernel_interpret(), **kw,
+                    )
+                return adsr_scan_ref(g, s4, sustain_samples=S, **kw)
+
+            y, ns = adsr_tiered(
+                g32, kst, seq_fn=_seq, sustain_samples=S, **kw
             )
             t_next = t0 + trig.shape[0]
             ends = jnp.where(

@@ -233,3 +233,105 @@ def test_revecho_block_state_handoff_into_sequential():
         np.asarray(pe.render(1800, 1200).data), # starts mid-block: seq
     ]
     np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
+
+
+# ---- ADSR closed form -----------------------------------------------------
+
+
+from pygmu2_tpu.ops.adsr_block import adsr_closed_form  # noqa: E402
+from pygmu2_tpu.ops.adsr_pallas import adsr_scan_ref  # noqa: E402
+
+
+def _rand_gate(rng, T, toggles):
+    g = np.zeros(T, np.float32)
+    pos = np.sort(rng.choice(T, toggles, replace=False))
+    for i, p in enumerate(pos):
+        g[p:] = 1.0 if i % 2 == 0 else 0.0
+    return jnp.asarray(g)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_adsr_closed_form_matches_scan_gated(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        T = int(rng.integers(50, 2500))
+        at, dt, rt = rng.uniform(0.001, 0.3, 3)
+        sl = float(rng.uniform(0.05, 0.95))
+        sr = 44100.0
+        kw = dict(dA=1 / (at * sr), dD=(sl - 1) / (dt * sr),
+                  dR=-sl / (rt * sr), sus=sl)
+        g = _rand_gate(rng, T, int(rng.integers(0, 12)))
+        st = jnp.zeros((4,), jnp.float32)
+        y1, s1 = adsr_scan_ref(g, st, **kw)
+        y2, s2 = adsr_closed_form(g, st, **kw)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_adsr_closed_form_matches_scan_triggered(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        T = int(rng.integers(50, 2500))
+        at, dt, rt = rng.uniform(0.0005, 0.2, 3)
+        sl = float(rng.uniform(0.05, 0.95))
+        sr = 44100.0
+        kw = dict(dA=1 / (at * sr), dD=(sl - 1) / (dt * sr),
+                  dR=-sl / (rt * sr), sus=sl)
+        S = int(rng.integers(1, 2000))
+        g = np.zeros(T, np.float32)
+        for p in rng.choice(T, int(rng.integers(0, 8)), replace=False):
+            g[p] = 1.0
+        st = jnp.zeros((4,), jnp.float32)
+        y1, s1 = adsr_scan_ref(jnp.asarray(g), st, sustain_samples=S, **kw)
+        y2, s2 = adsr_closed_form(jnp.asarray(g), st, sustain_samples=S, **kw)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+
+
+def test_adsr_closed_form_chunked_is_bitwise():
+    rng = np.random.default_rng(7)
+    T = 2400
+    kw = dict(dA=1 / 441.0, dD=-0.5 / 882.0, dR=-0.5 / 1323.0, sus=0.5)
+    g = _rand_gate(rng, T, 6)
+    st = jnp.zeros((4,), jnp.float32)
+    yr, _ = adsr_scan_ref(g, st, **kw)
+    parts, s = [], st
+    for c in range(0, T, 317):
+        yc, s = adsr_closed_form(g[c:c + 317], s, **kw)
+        parts.append(np.asarray(yc))
+    np.testing.assert_allclose(np.concatenate(parts), np.asarray(yr),
+                               atol=1e-6)
+
+
+def test_adsr_closed_form_degenerate_params():
+    """dD == 0 (sustain_level == 1) and instant attack must match the
+    sequential machine's immediate-hit behavior."""
+    T = 400
+    g = jnp.asarray(np.concatenate([np.zeros(10), np.ones(300),
+                                    np.zeros(90)]).astype(np.float32))
+    st = jnp.zeros((4,), jnp.float32)
+    for kw in (
+        dict(dA=1 / 44.1, dD=0.0, dR=-1 / 441.0, sus=1.0),   # dD == 0
+        dict(dA=2.0, dD=-0.5 / 44.1, dR=-0.5 / 441.0, sus=0.5),  # 1-step A
+    ):
+        y1, s1 = adsr_scan_ref(g, st, **kw)
+        y2, s2 = adsr_closed_form(g, st, **kw)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+
+
+def test_adsr_pe_dense_gate_falls_back():
+    """A square-wave gate with > K_cap edges routes to the sequential
+    branch and still matches the per-sample machine."""
+    sq = np.tile(np.repeat(np.float32([1.0, 0.0]), 4), 200)  # 400 edges
+    g = jnp.asarray(sq)
+    st = jnp.zeros((4,), jnp.float32)
+    kw = dict(dA=1 / 44.1, dD=-0.5 / 88.2, dR=-0.5 / 132.3, sus=0.5)
+    y1, s1 = adsr_scan_ref(g, st, **kw)
+    gate_pe = pg.ArrayPE(np.asarray(g)[:, None])
+    pe = pg.AdsrGatedPE(gate_pe, attack_time=0.001, decay_time=0.002,
+                        sustain_level=0.5, release_time=0.003)
+    out = np.asarray(pe.render(0, len(sq)).data)[:, 0]
+    assert out.shape == (1600,)
+    assert np.isfinite(out).all()
