@@ -92,7 +92,8 @@ def main():
     total = int(args.seconds * 44100)
     configs = build_configs(pg)
     if args.only:
-        configs = {k: v for k, v in configs.items() if args.only in k}
+        pats = [p for p in args.only.split(",") if p]
+        configs = {k: v for k, v in configs.items() if any(p in k for p in pats)}
 
     import numpy as _np
 

@@ -14,8 +14,9 @@ gather — streaming per block from disk would serialize the jitted
 program. The writer emits samples from inside the compiled program via an
 ordered ``io_callback``, so taps work in both the block-render and
 lax.scan render paths. This image has no libsndfile/miniaudio, so WAV
-decoding is our own RIFF codec; compressed formats (mp3/flac/ogg) use
-``miniaudio`` when present.
+decoding is our own RIFF codec (utils/wavio.py) and FLAC decoding is our
+own spec-subset decoder (utils/flacio.py); other compressed formats
+(mp3/ogg) use ``miniaudio`` when present.
 """
 
 from __future__ import annotations
@@ -138,20 +139,29 @@ class AudioReaderPE(_DecodedSource):
         self._ensure_data()
 
     def _decode(self) -> tuple[np.ndarray, int]:
-        if self._path.lower().endswith(".wav"):
+        lower = self._path.lower()
+        if lower.endswith(".wav"):
             return wavio.read_wav(self._path)
         try:
             import miniaudio
-        except ImportError as exc:
-            raise RuntimeError(
-                f"AudioReaderPE: decoding {self._path} requires the "
-                "'miniaudio' package (not installed); WAV files work "
-                "without it."
-            ) from exc
-        decoded = miniaudio.decode_file(self._path)
-        data = np.asarray(decoded.samples, dtype=np.float32) / 32768.0
-        data = data.reshape(-1, decoded.nchannels)
-        return data, decoded.sample_rate
+        except ImportError:
+            miniaudio = None
+        if miniaudio is not None:
+            decoded = miniaudio.decode_file(self._path)
+            data = np.asarray(decoded.samples, dtype=np.float32) / 32768.0
+            data = data.reshape(-1, decoded.nchannels)
+            return data, decoded.sample_rate
+        if lower.endswith(".flac"):
+            # no codec library in this image: the built-in decoder
+            # (utils/flacio.py) covers FLAC natively.
+            from pygmu2_tpu.utils import flacio
+
+            return flacio.read_flac(self._path)
+        raise RuntimeError(
+            f"AudioReaderPE: decoding {self._path} requires the "
+            "'miniaudio' package (not installed); WAV and FLAC files "
+            "work without it."
+        )
 
     def _ensure_data(self) -> None:
         if self._buffer is not None:

@@ -300,7 +300,16 @@ def adsr_tiered(gate, state, *, seq_fn, sustain_samples=None,
     this block's edges and fall through to ``seq_fn`` (the sequential
     kernel) only for pathological gates. All tiers are exact — same
     count-based f32 arithmetic — so the tier choice never changes the
-    output."""
+    output.
+
+    Domain guard: the closed form extracts edge positions (and per-sample
+    tau) via f32 one-hot contractions of SAMPLE indices, exact only while
+    every index < 2**24 — a PER-CALL limit, stricter than the per-segment
+    one documented in the module docstring. Blocks at or past 2**24
+    samples (~380 s at 44.1 kHz in one call) route straight to the
+    sequential kernel, which has no such limit."""
+    if gate.shape[0] >= (1 << 24):
+        return seq_fn(gate, state)
     gated = sustain_samples is None
     nedges = adsr_edge_count(gate, state[3], gated=gated)
     k1, k2 = K_tiers

@@ -200,7 +200,8 @@ def test_revecho_block_matches_sequential(alt):
 
 def test_revecho_block_chunked_matches_oneshot():
     one = np.asarray(_revecho(True).render(0, 4000).data)
-    # misaligned chunk starts: the cond falls back to sequential mid-run
+    # misaligned chunk starts: the fast path handles these itself via its
+    # ``off`` grid alignment (ok stays true; no sequential fallback)
     pe = _revecho(True)
     parts = [
         np.asarray(pe.render(s, min(617, 4000 - s)).data)
@@ -221,18 +222,60 @@ def test_revecho_non_integer_block_rejects_fast_path():
     np.testing.assert_allclose(a, b, atol=0.0)  # same sequential trace
 
 
-def test_revecho_block_state_handoff_into_sequential():
-    """Fast-path final state must be consumable by the sequential path:
-    render chunk 1 fast (aligned), chunk 2 lands mid-block (sequential),
-    chunk 3 aligned again (fast)."""
+def test_revecho_block_state_handoff_across_chunks():
+    """Fast-path final state must chain across arbitrary chunk splits:
+    every chunk here still takes the fast path (its ``off`` alignment
+    absorbs mid-block starts), but the carried state crosses block-grid
+    boundaries at three different phases."""
     one = np.asarray(_revecho(True).render(0, 3000).data)
     pe = _revecho(True)
     parts = [
-        np.asarray(pe.render(0, 800).data),     # aligned: fast (2 blocks)
+        np.asarray(pe.render(0, 800).data),     # aligned start
         np.asarray(pe.render(800, 1000).data),  # ends mid-block
-        np.asarray(pe.render(1800, 1200).data), # starts mid-block: seq
+        np.asarray(pe.render(1800, 1200).data), # starts mid-block
     ]
     np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
+
+
+def test_revecho_slow_scan_fallback_on_foreign_state():
+    """Exercise the ``ok == False`` cond branch (``_slow_scan``): a
+    restored checkpoint whose ``smoothed``/``r_idx`` violate the fast
+    path's alignment predicate must route to the sequential scan and
+    match the PE-param graph (which always runs sequential) restored
+    with the SAME perturbed state."""
+    from pygmu2_tpu.core import engine
+
+    T1, T2 = 800, 1400
+    fast = _revecho(True)
+    oracle = _revecho(False)  # PE ratio => sequential path, same math
+    np.testing.assert_allclose(
+        np.asarray(fast.render(0, T1).data),
+        np.asarray(oracle.render(0, T1).data),
+        atol=1e-5,
+    )
+
+    def perturb(snap):
+        (key,) = [k for k in snap if "ReversePitchEchoPE" in k]
+        st = dict(snap[key]["user"])
+        # smoothed off the fixed point and r_idx != w_idx: both predicate
+        # violations; the smoother then drifts back over many blocks, so
+        # several subsequent chunks stay on the sequential branch.
+        st["smoothed"] = st["smoothed"] + np.float32(7.0)
+        st["r_idx"] = np.maximum(st["r_idx"] - 3, 0).astype(st["r_idx"].dtype)
+        return {key: {"next": snap[key]["next"], "user": st}}
+
+    sf = perturb(engine.checkpoint_state(fast))
+    so = perturb(engine.checkpoint_state(oracle))
+    # same perturbed payload under each graph's own structural key
+    (kf,) = sf.keys()
+    (ko,) = so.keys()
+    so = {ko: sf[kf]}
+    engine.restore_state(fast, sf)
+    engine.restore_state(oracle, so)
+    for s, n in ((T1, 300), (T1 + 300, T2 - T1 - 300)):
+        a = np.asarray(fast.render(s, n).data)
+        b = np.asarray(oracle.render(s, n).data)
+        np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 # ---- ADSR closed form -----------------------------------------------------
@@ -319,6 +362,25 @@ def test_adsr_closed_form_degenerate_params():
         y2, s2 = adsr_closed_form(g, st, **kw)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+
+
+def test_adsr_tiered_huge_block_routes_to_seq():
+    """Blocks >= 2**24 samples exceed the closed form's f32 sample-index
+    domain (per-call limit) and must route straight to seq_fn."""
+    from pygmu2_tpu.ops.adsr_block import adsr_tiered
+
+    calls = []
+
+    def seq_stub(g, s):
+        calls.append(g.shape[0])
+        return jnp.zeros(g.shape, jnp.float32), s
+
+    g = jnp.zeros(((1 << 24),), jnp.float32)
+    st = jnp.zeros((4,), jnp.float32)
+    kw = dict(dA=1 / 44.1, dD=-0.5 / 88.2, dR=-0.5 / 132.3, sus=0.5)
+    y, _ = adsr_tiered(g, st, seq_fn=seq_stub, **kw)
+    assert calls == [1 << 24]
+    assert y.shape == ((1 << 24),)
 
 
 def test_adsr_pe_dense_gate_falls_back():
