@@ -426,6 +426,67 @@ def render_time_sharded_affine(
     return np.asarray(out)[:total]
 
 
+def select_time_sharding(
+    root, mesh: Mesh, block: int = 8192, affine_max_basis: int | None = None
+):
+    """Pick the time-sharding strategy for ``root`` on ``mesh``.
+
+    Returns ``(mode, D)`` with ``mode`` in ``{"pure", "affine",
+    "relay"}`` and ``D`` the float-state dimension (0 for pure graphs).
+
+    Crossover logic: the affine path probes the span map with a
+    ``(D+1)``-wide basis of initial states — ONE parallel launch, but
+    ``D+1`` span renders of arithmetic per device — while the exact
+    relay runs ``n_dev`` span renders serialized on the state chain.
+    So affine wins exactly when ``D + 1 <= n_dev`` (tie to affine: the
+    vmapped basis has no serial rounds and no per-round collective).
+    A long-FIR ConvolvePE history makes ``D = len(fir) - 1`` — at
+    D = 2047 on an 8-device mesh the basis fan-out would cost ~256x
+    the relay's arithmetic, which is why callers should route through
+    :func:`render_time_sharded_auto` instead of calling the affine
+    path directly. ``affine_max_basis`` overrides the ``n_dev``
+    crossover cap (e.g. benchmark-measured machine constants).
+    """
+    if root.is_pure():
+        return "pure", 0
+    prog = engine.get_program(root, block)
+    _, state_shapes = jax.eval_shape(
+        prog._run_first, jnp.asarray(0, prec.INDEX)
+    )
+    if not prog._state_nodes:
+        return "pure", 0
+    if any(not pe.state_affine() for pe in prog._state_nodes):
+        return "relay", -1
+    _, _, _, D = _affine_state_layout(state_shapes)
+    cap = mesh.devices.size if affine_max_basis is None else affine_max_basis
+    if D + 1 <= cap:
+        return "affine", D
+    return "relay", D
+
+
+def render_time_sharded_auto(
+    root, start: int, total: int, mesh: Mesh, block: int = 8192,
+    affine_max_basis: int | None = None,
+):
+    """Time-sharded render with the strategy picked automatically by
+    :func:`select_time_sharding`: pure graphs shard with no collectives,
+    affine-state graphs with a small state dimension use the
+    parallel-exact span-map composition, everything else the exact
+    ppermute ring relay. Returns a host float32 array (total, C)."""
+    mode, _d = select_time_sharding(
+        root, mesh, block=block, affine_max_basis=affine_max_basis
+    )
+    if mode == "pure":
+        return render_time_sharded(root, start, total, mesh, block=block)
+    if mode == "affine":
+        return render_time_sharded_affine(
+            root, start, total, mesh, block=block
+        )
+    return render_time_sharded_stateful(
+        root, start, total, mesh, block=block
+    )
+
+
 # ---- voice-parallel SoundFont rendering --------------------------------
 
 

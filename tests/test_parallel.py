@@ -220,6 +220,90 @@ class TestTimeShardedAffine:
 
 
 @needs_mesh
+class TestTimeShardedAuto:
+    """Strategy selection: callers go through render_time_sharded_auto,
+    which picks pure / affine / relay from the graph's purity, state
+    declarations, and float-state dimension D vs the mesh size (the
+    affine basis probe is D+1 span renders; the relay is n_dev serial
+    span rounds — affine wins iff D + 1 <= n_dev)."""
+
+    def test_selects_pure(self):
+        from pygmu2_tpu.parallel.render import select_time_sharding
+
+        mesh = default_mesh(8, axis="t")
+        graph = pg.GainPE(pg.SinePE(frequency=441.0), 0.5)
+        assert select_time_sharding(graph, mesh) == ("pure", 0)
+
+    def test_selects_affine_for_small_filter_state(self):
+        from pygmu2_tpu.parallel.render import select_time_sharding
+
+        mesh = default_mesh(8, axis="t")
+        src = pg.SinePE(frequency=220.0, amplitude=0.7)
+        # one biquad: D = 4 (x1,x2,y1,y2) -> 5-wide basis beats 8 serial
+        # relay rounds; a two-biquad cascade (D = 8) already crosses over
+        graph = pg.BiquadPE(src, 3000.0, 1.2)
+        mode, D = select_time_sharding(graph, mesh, block=1024)
+        assert (mode, D) == ("affine", 4)
+        cascade = pg.BiquadPE(pg.BiquadPE(src, 3000.0, 1.2), 800.0, 0.9)
+        assert select_time_sharding(cascade, mesh, block=1024) == ("relay", 8)
+
+    def test_selects_relay_for_long_fir_history(self):
+        from pygmu2_tpu.parallel.render import select_time_sharding
+
+        mesh = default_mesh(8, axis="t")
+        ir = pg.ArrayPE(np.exp(-np.arange(300) / 40.0).astype(np.float32))
+        graph = pg.ConvolvePE(pg.SinePE(frequency=220.0, amplitude=0.5), ir)
+        mode, D = select_time_sharding(graph, mesh, block=1024)
+        assert mode == "relay"
+        assert D + 1 > 8  # the basis fan-out the crossover must avoid
+
+    def test_selects_relay_for_nonaffine_state(self):
+        from pygmu2_tpu.parallel.render import select_time_sharding
+
+        mesh = default_mesh(8, axis="t")
+        graph = pg.LadderPE(pg.SinePE(frequency=220.0), 2000.0, 0.3)
+        mode, D = select_time_sharding(graph, mesh, block=1024)
+        assert mode == "relay"
+        assert D == -1  # dimension not probed for non-affine graphs
+
+    def test_affine_max_basis_override(self):
+        from pygmu2_tpu.parallel.render import select_time_sharding
+
+        mesh = default_mesh(8, axis="t")
+        src = pg.SinePE(frequency=220.0, amplitude=0.7)
+        graph = pg.BiquadPE(src, 3000.0, 1.2)
+        mode, _ = select_time_sharding(
+            graph, mesh, block=1024, affine_max_basis=1
+        )
+        assert mode == "relay"
+
+    @pytest.mark.parametrize(
+        "build",
+        [
+            lambda: pg.GainPE(pg.SinePE(frequency=441.0), 0.5),
+            lambda: pg.BiquadPE(
+                pg.SinePE(frequency=220.0, amplitude=0.7), 3000.0, 1.2
+            ),
+            lambda: pg.ConvolvePE(
+                pg.SinePE(frequency=220.0, amplitude=0.5),
+                pg.ArrayPE(
+                    np.exp(-np.arange(300) / 40.0).astype(np.float32)
+                ),
+            ),
+        ],
+        ids=["pure", "affine", "relay"],
+    )
+    def test_auto_matches_single_device(self, build):
+        from pygmu2_tpu.parallel.render import render_time_sharded_auto
+
+        mesh = default_mesh(8, axis="t")
+        total = 8 * 2048
+        sharded = render_time_sharded_auto(build(), 0, total, mesh, block=1024)
+        single = np.asarray(engine.render_scan(build(), 0, total, 1024))
+        np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+@needs_mesh
 class TestVoiceSharded:
     def test_matches_single_device(self):
         import struct
