@@ -14,6 +14,7 @@ synchronously inside the stream write loop).
 from __future__ import annotations
 
 import threading
+import time
 
 import numpy as np
 
@@ -56,6 +57,8 @@ class AudioRenderer(Renderer):
         self._stream = None
         self._stream_position = 0
         self._stream_done = threading.Event()
+        self._stream_underruns = 0
+        self._stream_batch = 1
 
     @property
     def device(self):
@@ -118,12 +121,28 @@ class AudioRenderer(Renderer):
 
     # ---- callback streaming ---------------------------------------------
 
-    def stream_start(self, start: int = 0, end: int | None = None) -> None:
+    def stream_start(
+        self,
+        start: int = 0,
+        end: int | None = None,
+        *,
+        batch_blocks: int | None = None,
+        queue_seconds: float = 0.25,
+    ) -> None:
         """Start callback-driven playback of ``[start, end)`` (``end=None``
         plays to the source extent's end).
 
         The PortAudio callback thread pulls pre-rendered blocks; a feeder
-        thread keeps the device ahead of the DAC.
+        thread keeps the device ahead of the DAC. The feeder renders
+        ``batch_blocks`` blocks per device dispatch so a fixed per-dispatch
+        latency (e.g. a remote-device round-trip, ~35 ms through this
+        environment's tunnel) is amortised below one block duration;
+        ``batch_blocks=None`` adapts automatically — the batch doubles
+        whenever a dispatch takes more than half the audio duration it
+        produced (chunked==oneshot invariance makes the K-block render
+        bit-identical to K single-block renders). ``queue_seconds`` sizes
+        the read-ahead queue — the underrun cushion — and bounds the extra
+        live-control latency; live players should lower it.
         """
         sd = _require_sd()
         if self._source is None:
@@ -139,8 +158,12 @@ class AudioRenderer(Renderer):
 
         self._stream_position = start
         self._stream_done.clear()
+        self._stream_underruns = 0
         channels = self.channel_count or 1
-        q: "queue.Queue[np.ndarray | None]" = queue.Queue(maxsize=4)
+        bs = self._blocksize
+        sr = self._sample_rate
+        maxq = max(4, int(round(queue_seconds * sr / bs)))
+        q: "queue.Queue[np.ndarray | None]" = queue.Queue(maxsize=maxq)
         extent = self._source.extent()
         stop_at = end if end is not None else extent.end
         stop_flag = threading.Event()
@@ -160,16 +183,34 @@ class AudioRenderer(Renderer):
 
         def feeder():
             pos = start
-            while not stop_flag.is_set():
-                if stop_at is not None and pos >= stop_at:
-                    put(None)
-                    return
-                snippet = self._source.render(pos, self._blocksize)
-                if not put(np.ascontiguousarray(snippet.data)):
-                    return
-                pos += self._blocksize
+            k = 1 if batch_blocks is None else max(1, int(batch_blocks))
+            adaptive = batch_blocks is None
+            k_max = 64
+            try:
+                while not stop_flag.is_set():
+                    if stop_at is not None and pos >= stop_at:
+                        put(None)
+                        return
+                    n = k * bs
+                    if stop_at is not None:
+                        n = min(n, int(stop_at) - pos)
+                    t0 = time.monotonic()
+                    snippet = self._source.render(pos, n)
+                    data = np.ascontiguousarray(snippet.data)
+                    dt = time.monotonic() - t0
+                    if adaptive and k < k_max and dt > 0.5 * (n / sr):
+                        k = min(k_max, k * 2)
+                    self._stream_batch = k
+                    for i in range(0, data.shape[0], bs):
+                        if not put(data[i : i + bs]):
+                            return
+                    pos += n
+            except Exception:  # pragma: no cover - render failure mid-stream
+                _log.exception("stream feeder failed; ending stream")
+                put(None)
 
         self._feeder_stop = stop_flag
+        self._stream_batch = 1
         self._feeder = threading.Thread(target=feeder, daemon=True)
         self._feeder.start()
 
@@ -178,6 +219,7 @@ class AudioRenderer(Renderer):
                 block = q.get_nowait()
             except Exception:
                 block = np.zeros((frames, channels), np.float32)
+                self._stream_underruns += 1
             if block is None:
                 raise sd.CallbackStop()
             n = min(frames, block.shape[0])
@@ -196,6 +238,14 @@ class AudioRenderer(Renderer):
             callback=callback,
             finished_callback=self._stream_done.set,
         )
+        # Prefill: don't open the DAC until the read-ahead cushion can
+        # cover a dispatch — opening on an empty (or one-block) queue
+        # plays the first dispatches (possibly a cold compile, and the
+        # adaptive batch ramp) as an underrun burst of silence. Half the
+        # queue bounds the added startup latency at queue_seconds/2.
+        prefill = max(1, maxq // 2)
+        while q.qsize() < prefill and self._feeder.is_alive():
+            time.sleep(0.002)
         self._cb_stream.start()
 
     def stream_stop(self) -> None:
@@ -222,6 +272,18 @@ class AudioRenderer(Renderer):
     def stream_position(self) -> int:
         """Current playback position in samples."""
         return self._stream_position
+
+    @property
+    def stream_underruns(self) -> int:
+        """Callback invocations that found the read-ahead queue empty
+        (zero-filled output) since the last ``stream_start``."""
+        return self._stream_underruns
+
+    @property
+    def stream_batch(self) -> int:
+        """Current feeder batch size in blocks (adapts upward when a
+        dispatch costs more than half the audio duration it renders)."""
+        return self._stream_batch
 
     @property
     def is_streaming(self) -> bool:

@@ -332,6 +332,135 @@ class TestAudioRendererStreaming:
         pg.AudioRenderer().stream_stop()  # no raise
 
 
+class PacedOutputStream(FakeOutputStream):
+    """Fake DAC that consumes one block per block-duration of wall time —
+    a realtime clock, unlike FakeOutputStream's as-fast-as-possible drain."""
+
+    def start(self):
+        if self.callback is None:
+            return
+
+        block_dur = self.blocksize / self.samplerate
+
+        def run():
+            next_t = time.monotonic()
+            while not self._stop.is_set():
+                out = np.zeros((self.blocksize, self.channels), np.float32)
+                try:
+                    self.callback(out, self.blocksize, None, None)
+                except FakeCallbackStop:
+                    break
+                self.writes.append(out.copy())
+                next_t += block_dur
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+            if self.finished_callback:
+                self.finished_callback()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+
+class PacedSD(FakeSD):
+    OutputStream = PacedOutputStream
+
+
+class _SlowDispatchProxy:
+    """Wraps a source so every render call pays a fixed dispatch latency,
+    emulating the dev tunnel's ~35 ms per-dispatch round trip
+    (scripts/LATENCY.md: flat in block size)."""
+
+    def __init__(self, inner, dispatch_s):
+        self._inner = inner
+        self._dispatch_s = dispatch_s
+
+    def render(self, pos, n):
+        time.sleep(self._dispatch_s)
+        return self._inner.render(pos, n)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+class TestSustainedStreaming:
+    """The feeder must sustain realtime when each device dispatch costs
+    more than one block duration (the tunnel case): batching K blocks per
+    dispatch amortises the fixed RTT below the block duration. VERDICT r4
+    weak #5."""
+
+    DISPATCH_S = 0.035  # measured tunnel RTT, scripts/LATENCY.md
+
+    def _stream(self, monkeypatch, seconds, blocksize, **kw):
+        monkeypatch.setattr(ar_mod, "_sd", PacedSD)
+        sr = 44100
+        total = int(seconds * sr)
+        r = pg.AudioRenderer(sample_rate=sr, blocksize=blocksize)
+        r.set_source(_graph(samples=total))
+        r.start()
+        r._source = _SlowDispatchProxy(r._source, self.DISPATCH_S)
+        r.stream_start(0, **kw)
+        finished = r.stream_wait(timeout=seconds * 3 + 30)
+        underruns = r.stream_underruns
+        batch = r.stream_batch
+        r.stream_stop()
+        r.stop()
+        return finished, underruns, batch
+
+    def test_adaptive_batching_sustains_realtime(self, monkeypatch):
+        # 6 s at block 512 (11.6 ms/block) with a 35 ms dispatch: one
+        # block per dispatch can never keep up; the adaptive feeder must
+        # grow its batch until it does, with zero underruns end to end
+        # (prefill covers startup).
+        finished, underruns, batch = self._stream(
+            monkeypatch, seconds=6.0, blocksize=512
+        )
+        assert finished, "stream did not finish"
+        assert underruns == 0, f"{underruns} underruns with adaptive batch"
+        assert batch >= 4, f"batch never adapted (K={batch})"
+
+    def test_single_block_feeder_underruns(self, monkeypatch):
+        # Negative control: batch_blocks=1 is the round-4 behavior — the
+        # feeder renders slower than playback and the DAC starves. Proves
+        # the harness can detect the failure the adaptive test rules out.
+        finished, underruns, _ = self._stream(
+            monkeypatch, seconds=2.0, blocksize=512, batch_blocks=1
+        )
+        assert underruns > 0
+
+    def test_fixed_batch_sustains_realtime(self, monkeypatch):
+        # Explicit batch_blocks big enough to amortise the RTT also works
+        # without adaptation.
+        finished, underruns, batch = self._stream(
+            monkeypatch, seconds=3.0, blocksize=512, batch_blocks=8
+        )
+        assert finished
+        assert underruns == 0
+        assert batch == 8
+
+    def test_stream_output_matches_offline_render(self, monkeypatch):
+        # Batched feeding must not change the audio: paced DAC writes
+        # (which saw zero underruns) concatenate to the offline render.
+        monkeypatch.setattr(ar_mod, "_sd", PacedSD)
+        sr = 44100
+        total = sr  # 1 s
+        r = pg.AudioRenderer(sample_rate=sr, blocksize=512)
+        r.set_source(_graph(samples=total))
+        r.start()
+        r._source = _SlowDispatchProxy(r._source, self.DISPATCH_S)
+        r.stream_start(0)
+        assert r.stream_wait(timeout=30)
+        stream = r._cb_stream
+        writes = list(stream.writes)
+        underruns = r.stream_underruns
+        r.stream_stop()
+        r.stop()
+        assert underruns == 0
+        played = np.concatenate(writes)[:total]
+        expected = _graph(total).render(0, total).data
+        np.testing.assert_allclose(played, expected, atol=1e-6)
+
+
 class TestAudioRendererDevices:
     def test_get_default_device_falls_back_to_first_output(self, fake_sd):
         info = pg.AudioRenderer.get_default_device()
