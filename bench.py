@@ -234,6 +234,51 @@ def _measure_font(large_font: bool, seconds: float, n_chain: int = 50):
     return wall_f32, wall_i16, stages
 
 
+def _grad_probe():
+    """jax.grad through Mosaic-kernel PEs on the real chip (VERDICT r4
+    task 5): a LadderPE→CombPE render (Pallas kernel forward, scan-replay
+    backward via ops/diffable.kernel_with_scan_vjp), validated against
+    central finite differences evaluated on the same backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pygmu2_tpu as pg
+    from pygmu2_tpu.core import engine
+
+    pg.set_sample_rate(44100)
+    n, block = 4096, 1024
+
+    osc = pg.BlitSawPE(frequency=110.0, amplitude=0.8)
+    lad = pg.LadderPE(osc, pg.ParamPE("cutoff", default=1500.0), 0.45)
+    g = pg.CropPE(
+        pg.CombPE(lad, 220.0, feedback=pg.ParamPE("fb", default=0.6)), 0, n
+    )
+
+    def loss(theta):
+        out = engine.render_functional(g, 0, n, block, theta)
+        return jnp.mean(out**2)
+
+    theta = {"cutoff": jnp.float32(1500.0), "fb": jnp.float32(0.6)}
+    v, grads = jax.jit(jax.value_and_grad(loss))(theta)
+    loss_j = jax.jit(loss)
+    res = {"backend": jax.default_backend(), "loss": round(float(v), 6)}
+    for k, eps in (("cutoff", 2.0), ("fb", 1e-3)):
+        tp = dict(theta)
+        tp[k] = theta[k] + eps
+        tm = dict(theta)
+        tm[k] = theta[k] - eps
+        fd = (float(loss_j(tp)) - float(loss_j(tm))) / (2 * eps)
+        gk = float(grads[k])
+        assert np.isfinite(gk), f"non-finite TPU grad for {k}"
+        rel = abs(gk - fd) / max(abs(fd), 1e-9)
+        assert rel < 0.1, f"grad_{k}={gk} vs fd={fd} (rel {rel:.3f})"
+        res[f"grad_{k}"] = float(f"{gk:.4g}")
+        res[f"fd_{k}"] = float(f"{fd:.4g}")
+        res[f"rel_err_{k}"] = round(rel, 4)
+    return res
+
+
 def main():
     import jax
 
@@ -377,6 +422,8 @@ def main():
     rtf = long_s / long_wall
     rtf_3s = seconds / wall_i16
 
+    grad_probe = _grad_probe()
+
     print(
         json.dumps(
             {
@@ -429,6 +476,7 @@ def main():
                         "stages": lg_stages,
                         "workload": "same 128-voice score, ~1M-sample multizone font (windowed-DMA oscillator)",
                     },
+                    "grad_on_tpu": grad_probe,
                     "baseline": "reference vectorized meltysynth 12.37x realtime (CPU, 3 s chord)",
                 },
             }
