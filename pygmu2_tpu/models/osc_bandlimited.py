@@ -25,6 +25,7 @@ from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
 from pygmu2_tpu.ops.linrec import affine_scan_1
+from pygmu2_tpu.ops.trig import dirichlet_blit
 
 
 def _param_extent(pe, params) -> Extent:
@@ -91,7 +92,13 @@ class BlitSawPE(ProcessingElement):
         return _param_extent(self, (self._frequency, self._amplitude, self._m))
 
     def _blit(self, ctx, freq, phase):
-        """Dirichlet-kernel band-limited impulse train (AC-coupled)."""
+        """Dirichlet-kernel band-limited impulse train (AC-coupled).
+
+        ``freq`` and ``phase`` arrive wide; the folding/range-reduction
+        stays wide and only the two sins run native f32 — see
+        ops/trig.py for why a plain f32 phase cast is not accurate
+        enough here.
+        """
         sr = ctx.sample_rate
         if self._m is None:
             m_f = sr / (2.0 * jnp.maximum(freq, 1.0))
@@ -102,25 +109,24 @@ class BlitSawPE(ProcessingElement):
             m_vals = ctx.param(self._m, dtype=prec.WIDE)
             m = jnp.maximum(jnp.floor(m_vals), 1.0)
         P = sr / jnp.maximum(freq, 1.0)
-        theta = jnp.pi * phase
-        sin_den = jnp.sin(theta)
-        near_zero = jnp.abs(sin_den) < 1e-9
-        safe_den = jnp.where(near_zero, 1.0, sin_den)
-        blit = jnp.where(near_zero, m / P, jnp.sin(m * theta) / (P * safe_den))
-        return blit - 1.0 / P
+        return dirichlet_blit(phase, m, P)
 
     def _trace(self, ctx):
         freq = ctx.param(self._frequency, dtype=prec.WIDE)
-        amp = ctx.param(self._amplitude, dtype=prec.WIDE)
+        amp = ctx.param(self._amplitude, dtype=prec.AUDIO)
         inc = freq / ctx.sample_rate
 
         st, _ = ctx.state(
             self,
             init=lambda: {
                 "phase": jnp.asarray(self._initial_phase, prec.WIDE),
-                "integ": jnp.asarray(0.0, prec.WIDE),
+                "integ": jnp.asarray(0.0, prec.AUDIO),
             },
         )
+        # Accumulate phase wide (drift-free over hours); the BLIT folds
+        # wide and evaluates its transcendentals f32 (ops/trig.py), and
+        # the leaky integrator runs f32 (leak=0.999 bounds its memory to
+        # ~1e3 samples, so f32 rounding stays ~3e-6 RMS in the output).
         phase = jnp.mod(st["phase"] + jnp.cumsum(inc), 1.0)
         blit_ac = self._blit(ctx, freq, phase)
 
@@ -248,35 +254,40 @@ class SuperSawPE(ProcessingElement):
     def _trace(self, ctx):
         sr = ctx.sample_rate
         freq = ctx.param(self._frequency, dtype=prec.WIDE)  # (T,)
-        amp = ctx.param(self._amplitude, dtype=prec.WIDE)
+        amp = ctx.param(self._amplitude, dtype=prec.AUDIO)
         ratios = jnp.asarray(self._detune_ratios, prec.WIDE)  # (V,)
-        gains = jnp.asarray(self._mix_gains, prec.WIDE)
+        gains = jnp.asarray(self._mix_gains, prec.AUDIO)
         V = ratios.shape[0]
 
-        inc = freq[:, None] * ratios[None, :] / sr  # (T, V)
         st, _ = ctx.state(
             self,
             init=lambda: {
                 "phase": jnp.asarray(self._init_phases, prec.WIDE),
-                "integ": jnp.zeros((V,), prec.WIDE),
+                "integ": jnp.zeros((V,), prec.AUDIO),
             },
         )
-        phase = jnp.mod(st["phase"][None, :] + jnp.cumsum(inc, axis=0), 1.0)
+        # f64 is software-emulated on TPU, so keep only the drift-critical
+        # phase math wide — and accumulate ONCE over (T,): each voice's
+        # increment is the base increment scaled by its detune ratio, so
+        # cumsum distributes (cumsum(inc·r_v) == cumsum(inc)·r_v) and the
+        # old per-voice (T, V) f64 cumsum collapses to one (T,) pass plus
+        # an outer product. The BLIT folds wide and evaluates its two
+        # sins native f32 (ops/trig.py); the leaky integrator runs f32.
+        cum = jnp.cumsum(freq / sr)  # (T,) f64
+        phase = jnp.mod(
+            st["phase"][None, :] + cum[:, None] * ratios[None, :], 1.0
+        )
 
         # Per-voice BLIT (auto harmonic count, all voices share the rule).
         fv = jnp.maximum(freq[:, None] * ratios[None, :], 1.0)
         m_f = sr / (2.0 * fv)
         m = jnp.maximum(jnp.floor(m_f) - (1.0 - jnp.mod(jnp.floor(m_f), 2.0)), 1.0)
         P = sr / fv
-        theta = jnp.pi * phase
-        sin_den = jnp.sin(theta)
-        near_zero = jnp.abs(sin_den) < 1e-9
-        safe = jnp.where(near_zero, 1.0, sin_den)
-        blit = jnp.where(near_zero, m / P, jnp.sin(m * theta) / (P * safe)) - 1.0 / P
+        blit = dirichlet_blit(phase, m, P)
 
         saw = affine_scan_1(
             jnp.full_like(blit, self._leak), blit, st["integ"]
-        )  # (T, V)
+        )  # (T, V) f32
         ctx.set_state(self, {"phase": phase[-1], "integ": saw[-1]})
 
         mixed = (saw * 2.0) @ gains  # (T,)

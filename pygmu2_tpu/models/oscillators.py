@@ -81,7 +81,7 @@ class SinePE(ProcessingElement):
 
     def _trace(self, ctx):
         sr = ctx.sample_rate
-        amp = ctx.param(self._amplitude, dtype=prec.WIDE)[:, None]
+        amp = ctx.param(self._amplitude, dtype=prec.AUDIO)[:, None]
 
         if not self._modulated():
             t = ctx.times(prec.WIDE)
@@ -105,7 +105,13 @@ class SinePE(ProcessingElement):
                 phase = phase + ctx.param(self._phase, dtype=prec.WIDE)
             ctx.set_state(self, phase[-1])
 
-        samples = (amp * jnp.sin(phase[:, None])).astype(prec.AUDIO)
+        # Accumulate wide (f64 keeps multi-hour phase drift-free), but
+        # evaluate the transcendental narrow: after a mod-2π wrap the
+        # f64→f32 cast costs ~4e-7 absolute phase — invisible at the
+        # ≤1e-4 parity budget — and f32 sin runs VPU-native instead of
+        # software-emulated f64.
+        ph32 = jnp.mod(phase, TWO_PI).astype(prec.AUDIO)
+        samples = (amp * jnp.sin(ph32[:, None])).astype(prec.AUDIO)
         if self._channels > 1:
             samples = jnp.tile(samples, (1, self._channels))
         return samples
