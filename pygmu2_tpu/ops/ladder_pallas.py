@@ -90,6 +90,10 @@ def _make_kernel(os_n: int, pbg: float, mode_index: int,
                  input_threshold: float, state_decay: float, chunk: int,
                  total_rows: int):
     os_recip = 1.0 / os_n
+    # Static: does any grid step contain padded tail rows? (total_rows is
+    # known at trace time, so chunk-aligned renders — the engine's usual
+    # 16384-sample blocks — compile with no per-sample guard at all.)
+    needs_guard = total_rows % chunk != 0
 
     def mode_mix(u, s1, s2, s3, s4):
         return _mode_mix(mode_index, u, s1, s2, s3, s4)
@@ -102,18 +106,18 @@ def _make_kernel(os_n: int, pbg: float, mode_index: int,
         def _init():
             st_ref[:] = st_in_ref[:]
 
-        def body(j, _):
-            # guard: padded tail rows must not advance the filter state.
-            # All index math pinned to i32 (x64 promotion breaks Mosaic).
-            row = i * jnp.int32(chunk) + j
+        # The 9 filter states live in the fori_loop carry — vector
+        # registers — not VMEM scratch: the per-sample body is pure
+        # serial dependency, and 18 scratch load/stores per sample were
+        # a third of its critical path. Scratch only carries state
+        # BETWEEN grid steps (one load + one store per chunk).
+        init = tuple(st_ref[pl.ds(k, 1), :] for k in range(9))
 
-            @pl.when(row < jnp.int32(total_rows))
-            def _process():
-                _sample(j)
+        def body(j, carry):
+            z0 = list(carry[0:4])
+            z1 = list(carry[4:8])
+            old = carry[8]
 
-            return jnp.int32(0)
-
-        def _sample(j):
             xi = x_ref[pl.ds(j, 1), :]          # (1, 128)
             al = al_ref[pl.ds(j, 1), :]         # (1, 1) broadcasts
             qa = qa_ref[pl.ds(j, 1), :]
@@ -127,9 +131,9 @@ def _make_kernel(os_n: int, pbg: float, mode_index: int,
                 quiet, jnp.float32(state_decay), jnp.float32(1.0)
             )
 
-            z0 = [st_ref[pl.ds(k, 1), :] * decay for k in range(4)]
-            z1 = [st_ref[pl.ds(4 + k, 1), :] * decay for k in range(4)]
-            old = st_ref[pl.ds(8, 1), :] * decay
+            z0 = [z * decay for z in z0]
+            z1 = [z * decay for z in z1]
+            old = old * decay
 
             total = jnp.zeros_like(input_sample)
             for s_idx in range(os_n):
@@ -148,12 +152,23 @@ def _make_kernel(os_n: int, pbg: float, mode_index: int,
                 total = total + mode_mix(u, *stages) * os_recip
 
             y_ref[pl.ds(j, 1), :] = total
-            for k in range(4):
-                st_ref[pl.ds(k, 1), :] = z0[k]
-                st_ref[pl.ds(4 + k, 1), :] = z1[k]
-            st_ref[pl.ds(8, 1), :] = input_sample
+            new = (*z0, *z1, input_sample)
+            if needs_guard:
+                # Padded tail rows must not advance the filter state
+                # (their y rows are sliced off by the caller). All index
+                # math pinned to i32 (x64 promotion breaks Mosaic).
+                row = i * jnp.int32(chunk) + j
+                live = row < jnp.int32(total_rows)
+                new = tuple(
+                    jnp.where(live, n, c) for n, c in zip(new, carry)
+                )
+            return new
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body, jnp.int32(0))
+        final = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(chunk), body, init
+        )
+        for k in range(9):
+            st_ref[pl.ds(k, 1), :] = final[k]
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _emit():
