@@ -331,8 +331,12 @@ def main():
     # to dispatch — under streaming this is the only schedule time NOT
     # hidden behind device compute (per-segment sim ~1 ms < per-segment
     # device ~3 ms keeps the rest overlapped).
+    # schedule_not_hidden is the pipelining claim's load-bearing term;
+    # one-shot host timings through a busy interpreter are noisy, so it
+    # is captured min/median over 5 runs (VERDICT r4 task 3) and the
+    # full spread is recorded in the JSON.
     sched_runs, first_runs = [], []
-    for _ in range(3):  # min-of-3: one-shot host timings are noisy
+    for _ in range(5):
         t0 = time.perf_counter()
         gen = synth_lg.build_schedule_segments(midi_long, long_s, 256)
         next(gen)
@@ -343,6 +347,7 @@ def main():
         synth_lg.reset()
     long_sched_ms = 1e3 * min(sched_runs)
     first_seg_ms = 1e3 * min(first_runs)
+    first_seg_med_ms = 1e3 * sorted(first_runs)[len(first_runs) // 2]
     long_bytes = int(long_s * 44100) * 2 * 2  # stereo int16
 
     # device-compute term: control+rows prep and the fused audio kernel
@@ -424,9 +429,7 @@ def main():
 
     grad_probe = _grad_probe()
 
-    print(
-        json.dumps(
-            {
+    result = {
                 "metric": "meltysynth_128voice_realtime_factor",
                 "value": round(rtf, 1),
                 "unit": "x_realtime",
@@ -447,6 +450,12 @@ def main():
                     "long_stages": {
                         "schedule_host_ms": round(long_sched_ms, 1),
                         "schedule_not_hidden_ms": round(first_seg_ms, 2),
+                        "schedule_not_hidden_med_ms": round(
+                            first_seg_med_ms, 2
+                        ),
+                        "schedule_not_hidden_runs_ms": [
+                            round(1e3 * r, 2) for r in first_runs
+                        ],
                         "device_prep_ms": round(prep_ms, 1),
                         "device_audio_ms": round(audio_ms, 1),
                         "device_compute_ms": round(device_ms, 1),
@@ -480,8 +489,89 @@ def main():
                     "baseline": "reference vectorized meltysynth 12.37x realtime (CPU, 3 s chord)",
                 },
             }
-        )
+    print(json.dumps(result))
+    _write_benchmarks_md(result)
+
+
+def _write_benchmarks_md(result, path=None):
+    """Regenerate BENCHMARKS.md's headline section between the
+    BENCH:HEADLINE markers from the SAME capture that produced the
+    driver JSON line — one capture of record, so the .md cannot drift
+    from BENCH_r*.json (VERDICT r4 task 3)."""
+    from pathlib import Path
+
+    path = Path(path or Path(__file__).resolve().parent / "BENCHMARKS.md")
+    try:
+        text = path.read_text()
+    except OSError:
+        return
+    begin = "<!-- BENCH:HEADLINE:BEGIN (regenerated by bench.py; do not edit by hand) -->"
+    end = "<!-- BENCH:HEADLINE:END -->"
+    if begin not in text or end not in text:
+        return
+    d = result["detail"]
+    ls = d["long_stages"]
+    sm = d["chord_3s_small_font"]
+    lg = d["chord_3s_large_font"]
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    wall_ms = d["wall_s"] * 1e3
+    walls = ", ".join(f"{w:.0f}" for w in ls["walls_ms"])
+    nh_runs = ", ".join(
+        f"{w:.1f}" for w in ls["schedule_not_hidden_runs_ms"]
     )
+    body = f"""
+Capture: `python bench.py` on backend `{d['backend']}`, {stamp} —
+identical to the driver's `BENCH_r*.json` record.
+
+## Piece-length render: 60 s through the large font (the bench.py headline)
+
+128-voice score re-struck every 4 s for 60 s, ~1M-sample multizone font
+(windowed-DMA oscillator kernel), int16 wire. The render is STREAMED:
+the host schedule simulation is built in segments and pipelined under
+per-segment device dispatch + async D2H, so only the FIRST segment's
+schedule build sits on the critical path.
+
+| metric | value |
+|---|---|
+| e2e wall (int16 wire, tunnel) | {wall_ms:.0f} ms -> **{result['value']}x realtime** (implied link ~{ls['implied_link_mb_s']:.0f} MB/s this run; walls ms: {walls}) |
+| device compute (audio {ls['device_audio_ms']:.1f} ms + prep {ls['device_prep_ms']:.1f} ms) | {ls['device_compute_ms']:.1f} ms -> **{result['device_only_rtf_60s']:.0f}x device-only RTF** |
+| schedule: total host sim | {ls['schedule_host_ms']:.1f} ms, of which **{ls['schedule_not_hidden_ms']:.1f} ms not hidden** (first segment; median {ls['schedule_not_hidden_med_ms']:.1f} ms over 5 runs: {nh_runs}) |
+| host-attached estimate (unhidden schedule + device) | {ls['host_attached_ms_est']:.1f} ms -> **{result['host_attached_rtf_est']:.0f}x realtime** |
+
+The BASELINE.json north star (>=1000x realtime for offline render) is
+judged on the device-only and host-attached rows: the remaining e2e gap
+is the {ls['wire_mb']:.1f} MB result stream over the dev tunnel — on a
+host-attached chip the wire is PCIe/HBM and the host-attached row is
+the e2e number.
+
+## 3 s chord (the reference's own benchmark anchor)
+
+Same 128-voice chord the reference benchmarks
+(`/root/reference/benchmarks/README_MELTYSYNTH_BENCH.md`; its
+vectorized CPU synth: 12.37x realtime). One tunnel round-trip dominates
+the wall at this length:
+
+| workload | device RTF | e2e RTF (int16 wire) |
+|---|---|---|
+| small font (~1.4k-sample wavetable, fused resident kernel) | **{sm['stages']['device_only_rtf']:.0f}x** | {sm['rtf']}x |
+| large font (~1M-sample multizone, windowed-DMA kernel) | **{lg['stages']['device_only_rtf']:.0f}x** | {lg['rtf']}x |
+
+Stage anatomy this run (small font / large font): host schedule
+{sm['stages']['schedule_host_ms']:.1f} / {lg['stages']['schedule_host_ms']:.1f} ms, link RTT {sm['stages']['link_rtt_ms']:.1f} / {lg['stages']['link_rtt_ms']:.1f} ms,
+download stream {sm['stages']['download_link_ms']:.1f} / {lg['stages']['download_link_ms']:.1f} ms at {sm['stages']['link_mb_s']:.0f} / {lg['stages']['link_mb_s']:.0f} MB/s,
+device execute {sm['stages']['execute_amortized_ms']:.2f} / {lg['stages']['execute_amortized_ms']:.2f} ms (amortized over a jitted chain).
+
+## Gradients on the device
+
+`jax.grad` through a BlitSaw->Ladder->Comb graph (Pallas-kernel forward,
+scan-replay backward) on backend `{d['grad_on_tpu']['backend']}`:
+grad_cutoff={d['grad_on_tpu']['grad_cutoff']} (finite-difference
+{d['grad_on_tpu']['fd_cutoff']}, rel err {d['grad_on_tpu']['rel_err_cutoff']}),
+grad_fb={d['grad_on_tpu']['grad_fb']} (fd {d['grad_on_tpu']['fd_fb']},
+rel err {d['grad_on_tpu']['rel_err_fb']}).
+"""
+    new = text[: text.index(begin) + len(begin)] + body + text[text.index(end):]
+    path.write_text(new)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def build_configs(pg):
-    """Representative configuration per PE family (name → builder)."""
+    """One benchmark configuration per exported concrete PE (name →
+    builder), mirroring the reference's auto-discovery (reference:
+    benchmarks/benchmark_pes.py:75-105). Variant rows (``_swept``,
+    ``_mod``, …) cover compiled paths a default config would miss.
+    ``tests/test_benchmark_coverage.py`` asserts every exported
+    renderable PE has a row here, so new PEs can't silently dodge perf
+    regression."""
+    import os
+
     import numpy as np
 
     sr = 44100
@@ -37,6 +45,48 @@ def build_configs(pg):
         return pg.ArrayPE(wav)
 
     ir = (np.random.default_rng(0).uniform(-1, 1, 2048) * np.exp(-np.arange(2048) / 400)).astype(np.float32)
+
+    def tmp_wav():
+        path = "/tmp/bench_pes_in.wav"
+        if not os.path.exists(path):
+            from pygmu2_tpu.utils.wavio import write_wav
+
+            write_wav(path, wav[:, None], sr)
+        return path
+
+    def tmp_flac():
+        path = "/tmp/bench_pes_in.flac"
+        if not os.path.exists(path):
+            from pygmu2_tpu.utils.flacio import write_flac
+
+            write_flac(path, wav[:, None], sr)
+        return path
+
+    def melty():
+        font = "/tmp/bench_pes_font.sf2"
+        if not os.path.exists(font):
+            from pygmu2_tpu.soundfont.build import (
+                build_sf2,
+                make_looped_sample,
+            )
+
+            with open(font, "wb") as f:
+                f.write(
+                    build_sf2(
+                        [
+                            {
+                                "data": make_looped_sample(261.63),
+                                "rate": sr,
+                                "root_key": 60,
+                                "loop": True,
+                            }
+                        ]
+                    )
+                )
+        pe = pg.MeltysynthPE(font, block_size=64)
+        pe._ensure_synth()
+        pe.synthesizer.process_midi_message(0, 0x90, 60, 100)
+        return pe
 
     return {
         "SinePE": lambda: pg.SinePE(frequency=440.0),
@@ -66,9 +116,58 @@ def build_configs(pg):
         "TimeWarpPE": lambda: pg.TimeWarpPE(arr(), rate=1.5),
         "ReversePitchEchoPE": lambda: pg.ReversePitchEchoPE(arr(), block_seconds=0.05, feedback=0.5, max_delay_seconds=0.1),
         "AdsrGatedPE": lambda: pg.AdsrGatedPE(pg.PeriodicGate(frequency=2.0), 0.01, 0.05, 0.6, 0.1),
+        "AdsrTriggeredPE": lambda: pg.AdsrTriggeredPE(pg.PeriodicTrigger(hz=2.0), 0.01, 0.05, 0.2, 0.6, 0.1),
         "PiecewisePE": lambda: pg.PiecewisePE([(i * 100, float(i % 7)) for i in range(100)]),
         "WavetablePE": lambda: pg.WavetablePE(pg.ArrayPE(wav[:1024]), pg.TransformPE(pg.IdentityPE(), lambda x: x * 3.7), out_of_bounds=pg.OutOfBoundsMode.WRAP),
+        "WavetablePE_cubic": lambda: pg.WavetablePE(pg.ArrayPE(wav[:1024]), pg.TransformPE(pg.IdentityPE(), lambda x: x * 3.7), interpolation=pg.InterpolationMode.CUBIC, out_of_bounds=pg.OutOfBoundsMode.WRAP),
         "TralfamPE": lambda: pg.TralfamPE(arr(), seed=1),
+        # --- sources / control ------------------------------------------
+        "ConstantPE": lambda: pg.ConstantPE(0.5),
+        "IdentityPE": lambda: pg.IdentityPE(),
+        "DiracPE": lambda: pg.DiracPE(),
+        "ArrayPE": arr,
+        "NoisePE_brown": lambda: pg.NoisePE(seed=1, mode=pg.NoiseMode.BROWN),
+        "ParamPE": lambda: pg.ParamPE("bench", default=0.5),
+        "ControlPE": lambda: pg.ControlPE(0.3),
+        "RandomPE_walk": lambda: pg.RandomPE(rate=8.0, seed=1, mode=pg.RandomMode.WALK),
+        "PortamentoPE": lambda: pg.PortamentoPE([(60.0 + (i % 12), i * 2205, 2205) for i in range(20)]),
+        "PeriodicGate": lambda: pg.PeriodicGate(frequency=4.0),
+        "PeriodicTrigger": lambda: pg.PeriodicTrigger(hz=4.0),
+        "FunctionGenPE_saw": lambda: pg.FunctionGenPE(frequency=220.0, waveform="sawtooth"),
+        # --- routing / structure ----------------------------------------
+        "GainPE_modulated": lambda: pg.GainPE(arr(), pg.SinePE(frequency=2.0, amplitude=0.5)),
+        "TransformPE": lambda: pg.TransformPE(arr(), lambda x: x * x * 0.5, name="square"),
+        "CachePE": lambda: pg.CachePE(arr()),
+        "CropPE": lambda: pg.CropPE(arr(), 100, sr - 200),
+        "SetExtentPE": lambda: pg.SetExtentPE(arr(), 0, sr, extend_mode=pg.ExtendMode.HOLD_BOTH),
+        "SlicePE": lambda: pg.SlicePE(arr(), 1000, sr - 2000, fade_in_seconds=0.01, fade_out_seconds=0.01),
+        "LoopPE": lambda: pg.LoopPE(pg.CropPE(arr(), 0, 4410), 0, 4410, crossfade_seconds=0.01),
+        "SequencePE": lambda: pg.SequencePE((pg.CropPE(arr(), 0, sr // 2), 0), (pg.CropPE(arr(), 0, sr // 2), sr // 2)),
+        "TriggerPE": lambda: pg.TriggerPE(pg.PeriodicGate(frequency=2.0), pg.CropPE(arr(), 0, 8000)),
+        "TriggerRestartPE": lambda: pg.TriggerRestartPE(pg.PeriodicTrigger(hz=2.0), pg.CropPE(pg.BlitSawPE(frequency=220.0), 0, 8000)),
+        "RandomSelectPE": lambda: pg.RandomSelectPE(pg.PeriodicTrigger(hz=4.0), [pg.CropPE(pg.SinePE(frequency=220.0), 0, 8000), pg.CropPE(pg.SinePE(frequency=330.0), 0, 8000), pg.CropPE(pg.SinePE(frequency=440.0), 0, 8000)], seed=1),
+        "ResetPE": lambda: pg.ResetPE(pg.CropPE(pg.BlitSawPE(frequency=220.0), 0, sr), pg.PeriodicTrigger(hz=2.0)),
+        # --- holds / smoothing -------------------------------------------
+        "SampleHoldPE": lambda: pg.SampleHoldPE(pg.NoisePE(seed=1), pg.PeriodicTrigger(hz=100.0)),
+        "TrackHoldPE": lambda: pg.TrackHoldPE(pg.NoisePE(seed=1), pg.PeriodicGate(frequency=10.0)),
+        "SlewLimiterPE": lambda: pg.SlewLimiterPE(pg.NoisePE(seed=1), rise_rate=10.0, fall_rate=5.0),
+        # --- filters / dynamics variants ----------------------------------
+        "SVFilterPE_swept": lambda: pg.SVFilterPE(arr(), pg.PiecewisePE([(0, 200.0), (sr, 8000.0)]), 2.0),
+        "DynamicsPE": lambda: pg.DynamicsPE(arr(), pg.EnvelopePE(pg.CachePE(arr()), attack=0.01, release=0.1), threshold=-20.0, ratio=4.0),
+        "LimiterPE": lambda: pg.LimiterPE(arr(), ceiling=-1.0),
+        "ExpanderPE": lambda: pg.ExpanderPE(arr(), threshold=-40.0),
+        "WindowPE_mean": lambda: pg.WindowPE(arr(), window=0.01, mode=pg.WindowMode.MEAN),
+        # --- spatial variants ---------------------------------------------
+        "SpatialLinear": lambda: pg.SpatialPE(arr(), method=pg.SpatialLinear(azimuth=30.0)),
+        "SpatialConstantPower": lambda: pg.SpatialPE(arr(), method=pg.SpatialConstantPower(azimuth=30.0)),
+        # --- host-I/O-backed sources (decode at start; per-block host
+        # callbacks for the live synth/MIDI rows — on a remote device the
+        # callback round-trip IS the workload) ------------------------------
+        "WavReaderPE": lambda: pg.WavReaderPE(tmp_wav()),
+        "AudioReaderPE_flac": lambda: pg.AudioReaderPE(tmp_flac()),
+        "WavWriterPE": lambda: pg.WavWriterPE(arr(), "/tmp/bench_pes_out.wav"),
+        "MidiInPE": lambda: pg.MidiInPE(require_mido=False),
+        "MeltysynthPE": melty,
     }
 
 
@@ -78,6 +177,12 @@ def main():
     parser.add_argument("--runs", type=int, default=5)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--only", type=str, default=None)
+    parser.add_argument(
+        "--write-md",
+        action="store_true",
+        help="regenerate the per-PE table in BENCHMARKS.md from this "
+        "run (full row set on a non-CPU backend only)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -176,6 +281,11 @@ def main():
                 break
         return diff_s / (k_hi - k1) * 1e3
 
+    header = (
+        f"{'PE':<22} {'mean ms':>9} {'std':>7} {'min':>8} {'max':>8} "
+        f"{'Msmp/s':>9} {'xRT':>8} {'dev Msmp/s':>11} {'xRT_dev':>8}"
+    )
+    lines, dev_rtfs = [], {}
     for name, build in configs.items():
         try:
             pe = build()
@@ -201,15 +311,73 @@ def main():
             else:
                 dev_msps_str = f"{total / (dev_ms / 1e3) / 1e6:.0f}"
                 dev_rtf_str = f"{(total / 44100) / (dev_ms / 1e3):.0f}"
-            print(
+            line = (
                 f"{name:<22} {mean:>9.2f} {std:>7.2f} {min(times):>8.2f} "
                 f"{max(times):>8.2f} {msps:>9.1f} {xrt:>8.1f} "
                 f"{dev_msps_str:>11} {dev_rtf_str:>8}"
             )
+            if dev_rtf_str not in ("noise",):
+                dev_rtfs[name] = float(dev_rtf_str)
+            print(line)
+            lines.append(line)
         except Exception as exc:  # keep the suite running
-            print(f"{name:<22} FAILED: {type(exc).__name__}: {exc}")
+            line = f"{name:<22} FAILED: {type(exc).__name__}: {exc}"
+            print(line)
+            lines.append(line)
 
+    if args.write_md:
+        if args.only or jax.default_backend() == "cpu":
+            print("--write-md skipped: needs the full row set on the "
+                  "device backend")
+        else:
+            meta = (f"backend={jax.default_backend()}  samples/run={total}  "
+                    f"runs={args.runs}  link≈{link_per_s:.1f} ms/s-audio")
+            write_md(meta, header, lines, dev_rtfs)
     return 0
+
+
+def write_md(meta, header, lines, dev_rtfs, path=None):
+    """Regenerate the per-PE table between the BENCH:PERPE markers in
+    BENCHMARKS.md from this very run (one capture of record — the same
+    discipline bench.py applies to the headline section). The prose
+    below the table is DERIVED from the measured numbers, so it cannot
+    contradict them."""
+    md = Path(path or Path(__file__).resolve().parents[1] / "BENCHMARKS.md")
+    try:
+        text = md.read_text()
+    except OSError:
+        return
+    begin = "<!-- BENCH:PERPE:BEGIN (regenerated by benchmark_pes.py --write-md; do not edit by hand) -->"
+    end = "<!-- BENCH:PERPE:END -->"
+    if begin not in text or end not in text:
+        return
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    slow = sorted(
+        ((n, r) for n, r in dev_rtfs.items() if r < 1000),
+        key=lambda kv: kv[1],
+    )
+    if slow:
+        names = ", ".join(f"{n} ({r:.0f}x)" for n, r in slow)
+        prose = (
+            f"Reading the table: {len(dev_rtfs) - len(slow)} of "
+            f"{len(dev_rtfs)} measured rows are >=1000x realtime "
+            f"on-chip; below the bar this run: {names}. Host-I/O-backed "
+            "rows (readers/writers, live MIDI, the block-callback "
+            "Meltysynth synth) measure the host round-trip by design."
+        )
+    else:
+        prose = (
+            f"Reading the table: all {len(dev_rtfs)} measured rows are "
+            ">=1000x realtime on-chip this run."
+        )
+    table = "\n".join(["```", meta, header, "-" * 100, *lines, "```"])
+    body = f"\nCapture: `python benchmarks/benchmark_pes.py --write-md`, {stamp}.\n\n{table}\n\n{prose}\n"
+    new = (
+        text[: text.index(begin) + len(begin)]
+        + body
+        + text[text.index(end):]
+    )
+    md.write_text(new)
 
 
 if __name__ == "__main__":
