@@ -37,6 +37,10 @@ _IDLE, _ATTACK, _DECAY, _SUSTAIN, _RELEASE = 0.0, 1.0, 2.0, 3.0, 4.0
 def _make_kernel(dA: float, dD: float, dR: float, sus: float,
                  sustain_samples: int | None, chunk: int, total_rows: int):
     gated = sustain_samples is None
+    # Static: does any grid step contain padded tail rows? Chunk-aligned
+    # renders compile with no per-sample guard at all (the
+    # ops/ladder_pallas.py pattern).
+    needs_guard = total_rows % chunk != 0
 
     def kernel(g_ref, st_in_ref, y_ref, st_out_ref, st_ref):
         i = pl.program_id(0)
@@ -59,12 +63,13 @@ def _make_kernel(dA: float, dD: float, dR: float, sus: float,
                 ),
             )
 
-        def _sample(j):
+        # The 4 machine states live in the fori_loop carry (vector
+        # registers), not VMEM scratch: the body is a pure serial
+        # dependency, and 8 scratch load/stores per sample sat on its
+        # critical path. Scratch only carries state BETWEEN grid steps.
+        def _sample(j, carry):
+            stage, e0, n, pg = carry
             g = g_ref[pl.ds(j, 1), :]  # (1, 128)
-            stage = st_ref[pl.ds(0, 1), :]
-            e0 = st_ref[pl.ds(1, 1), :]
-            n = st_ref[pl.ds(2, 1), :]
-            pg = st_ref[pl.ds(3, 1), :]
 
             env = env_of(stage, e0, n)
             y_ref[pl.ds(j, 1), :] = env
@@ -126,22 +131,26 @@ def _make_kernel(dA: float, dD: float, dR: float, sus: float,
                 ),
             )
             n2 = jnp.where(hit_a | hit_d | hit_r | expire, 0.0, n1)
+            return (stage2, e02, n2, g)
 
-            st_ref[pl.ds(0, 1), :] = stage2
-            st_ref[pl.ds(1, 1), :] = e02
-            st_ref[pl.ds(2, 1), :] = n2
-            st_ref[pl.ds(3, 1), :] = g
+        def body(j, carry):
+            new = _sample(j, carry)
+            if needs_guard:
+                # Padded tail rows must not advance the machine (their
+                # y rows are sliced off by the caller).
+                row = i * jnp.int32(chunk) + j
+                live = row < jnp.int32(total_rows)
+                new = tuple(
+                    jnp.where(live, n, c) for n, c in zip(new, carry)
+                )
+            return new
 
-        def body(j, _):
-            row = i * jnp.int32(chunk) + j
-
-            @pl.when(row < jnp.int32(total_rows))
-            def _process():
-                _sample(j)
-
-            return jnp.int32(0)
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body, jnp.int32(0))
+        init = tuple(st_ref[pl.ds(k, 1), :] for k in range(4))
+        final = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(chunk), body, init
+        )
+        for k in range(4):
+            st_ref[pl.ds(k, 1), :] = final[k]
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _emit():

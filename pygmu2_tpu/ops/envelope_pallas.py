@@ -38,6 +38,11 @@ def envelope_ar_scan_ref(x, env0, *, atk, rel):
 
 
 def _make_kernel(atk: float, rel: float, chunk: int, total_rows: int):
+    # Static: does any grid step contain padded tail rows? Chunk-aligned
+    # renders compile with no per-sample guard at all (the
+    # ops/ladder_pallas.py pattern).
+    needs_guard = total_rows % chunk != 0
+
     def kernel(x_ref, env_in, y_ref, env_out, env):
         i = pl.program_id(0)
 
@@ -45,23 +50,28 @@ def _make_kernel(atk: float, rel: float, chunk: int, total_rows: int):
         def _init():
             env[:] = env_in[:]
 
-        def body(j, _):
-            row = i * jnp.int32(chunk) + j
+        # The envelope lives in the fori_loop carry (vector registers),
+        # not VMEM scratch: the body is a pure serial dependency and the
+        # per-sample scratch load+store sat on its critical path.
+        # Scratch only carries state BETWEEN grid steps.
+        def body(j, e):
+            xi = x_ref[pl.ds(j, 1), :]  # (1, 128)
+            coeff = jnp.where(
+                xi > e, jnp.float32(atk), jnp.float32(rel)
+            )
+            new = e + coeff * (xi - e)
+            if needs_guard:
+                # Padded tail rows must not advance the envelope (their
+                # y rows are sliced off by the caller).
+                row = i * jnp.int32(chunk) + j
+                new = jnp.where(row < jnp.int32(total_rows), new, e)
+            y_ref[pl.ds(j, 1), :] = new
+            return new
 
-            @pl.when(row < jnp.int32(total_rows))
-            def _process():
-                xi = x_ref[pl.ds(j, 1), :]  # (1, 128)
-                e = env[pl.ds(0, 1), :]
-                coeff = jnp.where(
-                    xi > e, jnp.float32(atk), jnp.float32(rel)
-                )
-                e = e + coeff * (xi - e)
-                y_ref[pl.ds(j, 1), :] = e
-                env[pl.ds(0, 1), :] = e
-
-            return jnp.int32(0)
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body, jnp.int32(0))
+        final = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(chunk), body, env[pl.ds(0, 1), :]
+        )
+        env[pl.ds(0, 1), :] = final
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _emit():
