@@ -252,6 +252,30 @@ class TimeWarpPE(ProcessingElement):
         return f"TimeWarpPE(source={type(self._source).__name__}, rate={r})"
 
 
+def _blocked_prefix(x, block: int = 1024):
+    """Inclusive prefix sum with a leading zero row, f32 throughout.
+
+    A flat f64 ``cumsum`` (what this replaces) is software-emulated on
+    TPU — ~log T tree passes of double-f32 arithmetic. Two-level
+    blocking keeps everything native f32 while bounding the scan's
+    error accumulation to one block: local f32 cumsums within
+    ``block``-row tiles plus an f32 cumsum over the ≤T/block block
+    totals. The reconstruction rounds once at full magnitude per
+    element, so a windowed difference ``csum[t+w] − csum[t]`` carries
+    ~eps·Σ|x| absolute error — orders below the ≤1e-4 parity budget for
+    block-bounded trace windows.
+    """
+    T, C = x.shape
+    x = x.astype(jnp.float32)
+    Tp = -(-T // block) * block
+    xb = jnp.pad(x, ((0, Tp - T), (0, 0))).reshape(Tp // block, block, C)
+    loc = jnp.cumsum(xb, axis=1)
+    base = jnp.cumsum(loc[:, -1, :], axis=0)
+    base = jnp.concatenate([jnp.zeros_like(base[:1]), base[:-1]], axis=0)
+    csum = (loc + base[:, None, :]).reshape(Tp, C)[:T]
+    return jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+
+
 class WindowPE(ProcessingElement):
     """Zero-phase centered window statistic (MAX/MIN/MEAN/RMS)."""
 
@@ -311,15 +335,14 @@ class WindowPE(ProcessingElement):
             out = jax.lax.reduce_window(
                 x, jnp.inf, jax.lax.min, (wsize, 1), (1, 1), "valid"
             )
-        else:
-            csum = jnp.cumsum(x.astype(prec.WIDE), axis=0)
-            csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
-            if self._mode == WindowMode.MEAN:
-                out = (csum[wsize:] - csum[:-wsize]) / wsize
-            else:  # RMS
-                csq = jnp.cumsum((x.astype(prec.WIDE)) ** 2, axis=0)
-                csq = jnp.concatenate([jnp.zeros_like(csq[:1]), csq], axis=0)
-                out = jnp.sqrt(jnp.maximum((csq[wsize:] - csq[:-wsize]) / wsize, 0.0))
+        elif self._mode == WindowMode.MEAN:
+            csum = _blocked_prefix(x)
+            out = (csum[wsize:] - csum[:-wsize]) / wsize
+        else:  # RMS
+            csq = _blocked_prefix(x * x)
+            out = jnp.sqrt(
+                jnp.maximum((csq[wsize:] - csq[:-wsize]) / wsize, 0.0)
+            )
         return out.astype(prec.AUDIO)
 
     def __repr__(self) -> str:
