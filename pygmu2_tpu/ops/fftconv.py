@@ -50,11 +50,25 @@ def framed_conv(x_window, h, out_len: int, nfft: int | None = None):
     xp = jnp.concatenate(
         [x_window, jnp.zeros((pad, C), x_window.dtype)], axis=0
     )
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
     # (n_frames, C, nfft): the FFT axis MUST be minor — on TPU a
     # middle-axis FFT over a trailing singleton channel dim gets
     # tile-padded 128x and ran ~30x slower.
-    frames = jnp.transpose(xp[idx], (0, 2, 1))
+    if tail <= hop:
+        # Frame i is xp[i*hop : i*hop + nfft]. With tail <= hop (always
+        # true for the default nfft >= 2L) the overlapping windows are
+        # two reshapes of static slices — an index-array gather here
+        # lowers to a ~7 ns/element scalar loop on TPU and cost half
+        # the ConvolvePE row.
+        a = xp[: n_frames * hop].reshape(n_frames, hop, C)
+        b = xp[hop : hop + n_frames * hop].reshape(n_frames, hop, C)
+        frames = jnp.concatenate([a, b[:, :tail]], axis=1)
+    else:  # caller-forced tiny nfft: fall back to the gather
+        idx = (
+            jnp.arange(n_frames)[:, None] * hop
+            + jnp.arange(nfft)[None, :]
+        )
+        frames = xp[idx]
+    frames = jnp.transpose(frames, (0, 2, 1))
 
     H = jnp.fft.rfft(h.T, n=nfft, axis=-1)  # (hC, bins)
     X = jnp.fft.rfft(frames, axis=-1)       # (n_frames, C, bins)
