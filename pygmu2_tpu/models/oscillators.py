@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
+from pygmu2_tpu.ops.phase import wrapped_phase_accum
 
 TWO_PI = 6.283185307179586476925287
 
@@ -100,15 +101,31 @@ class SinePE(ProcessingElement):
             acc, _ = ctx.state(
                 self, init=jnp.asarray(init_phase, dtype=prec.WIDE)
             )
-            phase = acc + jnp.cumsum(inc)
+            # Blocked accumulation (ops/phase.py): f64 only at block
+            # granularity (drift-free carry), per-sample prefix sums and
+            # the mod-2π wrap in native f32 — a flat f64 cumsum is
+            # software-emulated and dominated this row. Phase error
+            # ~5e-6 rad; sin slope ≤ 1 keeps it far under the ≤1e-4
+            # parity budget.
+            ph32, final = wrapped_phase_accum(acc, inc, TWO_PI)
             if isinstance(self._phase, ProcessingElement):
-                phase = phase + ctx.param(self._phase, dtype=prec.WIDE)
-            ctx.set_state(self, phase[-1])
+                ph_in = ctx.param(self._phase, dtype=prec.WIDE)
+                ph32 = jnp.mod(
+                    ph32 + jnp.mod(ph_in, TWO_PI).astype(prec.AUDIO),
+                    jnp.float32(TWO_PI),
+                )
+                # Reference convention: the carried value includes the
+                # phase-input contribution (sine_pe.py:199-232).
+                final = final + ph_in[-1]
+            ctx.set_state(self, final)
+            samples = (amp * jnp.sin(ph32[:, None])).astype(prec.AUDIO)
+            if self._channels > 1:
+                samples = jnp.tile(samples, (1, self._channels))
+            return samples
 
-        # Accumulate wide (f64 keeps multi-hour phase drift-free), but
-        # evaluate the transcendental narrow: after a mod-2π wrap the
-        # f64→f32 cast costs ~4e-7 absolute phase — invisible at the
-        # ≤1e-4 parity budget — and f32 sin runs VPU-native instead of
+        # Pure path: closed-form wide phase, wrapped before the f32 cast
+        # (the cast then costs ~4e-7 absolute phase — invisible at the
+        # ≤1e-4 parity budget) so f32 sin runs VPU-native instead of
         # software-emulated f64.
         ph32 = jnp.mod(phase, TWO_PI).astype(prec.AUDIO)
         samples = (amp * jnp.sin(ph32[:, None])).astype(prec.AUDIO)
