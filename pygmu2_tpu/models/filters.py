@@ -26,7 +26,7 @@ from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
 from pygmu2_tpu.models.modes import BiquadMode
-from pygmu2_tpu.ops.linrec import affine_scan_2, biquad_filter
+from pygmu2_tpu.ops.linrec import affine_scan_2_auto, biquad_filter
 
 
 class _FreqQFilterPE(ProcessingElement):
@@ -303,7 +303,7 @@ class SVFilterPE(_FreqQFilterPE):
         s0, _ = ctx.state(
             self, init=lambda: jnp.zeros((Cch, 2), prec.AUDIO)
         )
-        s1, s2 = affine_scan_2(
+        s1, s2 = affine_scan_2_auto(
             jnp.broadcast_to(A[0][:, None], (T, Cch)),
             jnp.broadcast_to(A[1][:, None], (T, Cch)),
             jnp.broadcast_to(A[2][:, None], (T, Cch)),

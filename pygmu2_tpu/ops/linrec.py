@@ -77,6 +77,34 @@ def affine_scan_2(a11, a12, a21, a22, u1, u2, s0=None):
     return out[4], out[5]
 
 
+def affine_scan_2_auto(a11, a12, a21, a22, u1, u2, s0=None):
+    """affine_scan_2, routed through the single-HBM-pass Mosaic kernel
+    (ops/linrec_pallas.py) on the TPU backend for long windows.
+
+    The associative scan runs ~log2(T) *global* passes, each streaming
+    six (T, C) planes through HBM; the blocked Kogge-Stone kernel reads
+    every plane exactly once (measured on the swept-biquad row). The
+    kernel carries the scan-replay VJP, so gradients are unchanged.
+    Short windows and non-TPU backends keep the associative scan.
+    """
+    from pygmu2_tpu.ops.diffable import kernel_interpret, kernel_path_enabled
+
+    u1a = jnp.asarray(u1)
+    if (
+        kernel_path_enabled()
+        and u1a.ndim == 2
+        and u1a.shape[0] >= 4096
+        and u1a.shape[1] <= 128
+    ):
+        from pygmu2_tpu.ops.linrec_pallas import affine_scan_2_pallas
+
+        return affine_scan_2_pallas(
+            a11, a12, a21, a22, u1, u2, s0,
+            chunk=1024, interpret=kernel_interpret(),
+        )
+    return affine_scan_2(a11, a12, a21, a22, u1, u2, s0=s0)
+
+
 def affine_scan_nd(A, u, s0):
     """D-dimensional affine recurrence ``s[t] = A[t] @ s[t-1] + u[t]``.
 
@@ -189,7 +217,7 @@ def biquad_filter(x, b0, b1, b2, a1, a2, zi=None):
     xp = jnp.concatenate([x_tail[::-1], x], axis=0)  # rows: x[-2], x[-1], x...
     fir = b0 * xp[2:] + b1 * xp[1:-1] + b2 * xp[:-2]
 
-    y, _ = affine_scan_2(
+    y, _ = affine_scan_2_auto(
         jnp.broadcast_to(-a1, (T, C)),
         jnp.broadcast_to(-a2, (T, C)),
         jnp.ones((T, C), dt),
