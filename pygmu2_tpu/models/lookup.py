@@ -221,11 +221,18 @@ class TimeWarpPE(ProcessingElement):
         with self._pos_lock:
             init_pos = self._pending_pos  # trace-time constant (like ControlPE)
         pos0, _ = ctx.state(self, init=jnp.asarray(init_pos, prec.WIDE))
-        prefix = jnp.concatenate(
-            [jnp.zeros((1,), prec.WIDE), jnp.cumsum(rate[:-1])]
-        )
+        if self._rate_is_pe:
+            prefix = jnp.concatenate(
+                [jnp.zeros((1,), prec.WIDE), jnp.cumsum(rate[:-1])]
+            )
+            total = jnp.sum(rate)
+        else:
+            # Constant rate (the common case): i*r is exact in f64 and
+            # skips the software-emulated f64 cumsum entirely.
+            prefix = jnp.arange(T, dtype=prec.WIDE) * rate[0]
+            total = jnp.asarray(T, prec.WIDE) * rate[0]
         indices = pos0 + prefix
-        ctx.set_state(self, pos0 + jnp.sum(rate))
+        ctx.set_state(self, pos0 + total)
 
         mode = (
             "cubic" if self._interpolation == InterpolationMode.CUBIC else "linear"
