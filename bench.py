@@ -490,7 +490,10 @@ def main():
                 },
             }
     print(json.dumps(result))
-    _write_benchmarks_md(result)
+    try:
+        _write_benchmarks_md(result)
+    except Exception as exc:  # the .md refresh must never break the capture
+        print(f"BENCHMARKS.md refresh failed: {exc!r}", file=sys.stderr)
 
 
 def _write_benchmarks_md(result, path=None):

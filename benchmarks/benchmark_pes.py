@@ -305,8 +305,17 @@ def main():
             std = statistics.stdev(times) if len(times) > 1 else 0.0
             msps = total / (mean / 1e3) / 1e6
             xrt = (total / 44100) / (mean / 1e3)
-            dev_ms = device_ms_per_render(pe, total)
-            if dev_ms <= 0.0:  # differenced mins can go negative in noise
+            try:
+                dev_ms = device_ms_per_render(pe, total)
+            except Exception:
+                # Host-I/O-backed PEs (file readers/writers, live MIDI,
+                # the block-callback Meltysynth synth) cannot chain
+                # render_functional on-device; their e2e columns ARE the
+                # workload.
+                dev_ms = None
+            if dev_ms is None:
+                dev_msps_str, dev_rtf_str = "host", "host"
+            elif dev_ms <= 0.0:  # differenced mins can go negative in noise
                 dev_msps_str, dev_rtf_str = "noise", "noise"
             else:
                 dev_msps_str = f"{total / (dev_ms / 1e3) / 1e6:.0f}"
@@ -316,7 +325,7 @@ def main():
                 f"{max(times):>8.2f} {msps:>9.1f} {xrt:>8.1f} "
                 f"{dev_msps_str:>11} {dev_rtf_str:>8}"
             )
-            if dev_rtf_str not in ("noise",):
+            if dev_rtf_str not in ("noise", "host"):
                 dev_rtfs[name] = float(dev_rtf_str)
             print(line)
             lines.append(line)
