@@ -171,6 +171,12 @@ def build_configs(pg):
     }
 
 
+# Rows whose render path runs ordered host callbacks (io_callback /
+# queue drains): excluded from the chained device-only measurement —
+# see the comment at the call site.
+HOST_ONLY_ROWS = {"WavWriterPE", "MidiInPE", "MeltysynthPE"}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--seconds", type=float, default=1.0)
@@ -305,14 +311,19 @@ def main():
             std = statistics.stdev(times) if len(times) > 1 else 0.0
             msps = total / (mean / 1e3) / 1e6
             xrt = (total / 44100) / (mean / 1e3)
-            try:
-                dev_ms = device_ms_per_render(pe, total)
-            except Exception:
-                # Host-I/O-backed PEs (file readers/writers, live MIDI,
-                # the block-callback Meltysynth synth) cannot chain
-                # render_functional on-device; their e2e columns ARE the
-                # workload.
+            if name in HOST_ONLY_ROWS:
+                # Host-I/O-backed PEs (ordered io_callback file writers,
+                # live-MIDI queue drains, the block-callback Meltysynth
+                # synth) must not be chained on-device: an ordered host
+                # callback inside the jitted fori_loop either hangs the
+                # remote compiler or pays one tunnel RTT per trip. Their
+                # e2e columns ARE the workload.
                 dev_ms = None
+            else:
+                try:
+                    dev_ms = device_ms_per_render(pe, total)
+                except Exception:
+                    dev_ms = None
             if dev_ms is None:
                 dev_msps_str, dev_rtf_str = "host", "host"
             elif dev_ms <= 0.0:  # differenced mins can go negative in noise

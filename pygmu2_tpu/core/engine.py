@@ -406,7 +406,26 @@ class Program:
                 pe._eng_state = {"user": user, "next": new_states[key]["next"]}
             else:
                 pe._eng_state = new_states[key]
+        self._fire_block_hooks()
         return out
+
+    def _fire_block_hooks(self) -> None:
+        """Deliver state-carried tap payloads to host-side sinks.
+
+        PEs with side effects (WavWriterPE) publish each rendered block
+        through their state pytree and define ``_eng_on_block``; the
+        driver hands the payload over AFTER the block lands on host. An
+        ordered ``io_callback`` inside the traced program would be the
+        torch translation — it deadlocks on remote-attached devices
+        (axon), where the device cannot call back into this process
+        mid-program. State-carried taps ride the same D2H transfer the
+        render already pays.
+        """
+        for pe in self._walked:
+            hook = getattr(pe, "_eng_on_block", None)
+            st = getattr(pe, "_eng_state", None)
+            if hook is not None and st is not None:
+                hook(st["user"])
 
     def run_static(self, start: int):
         """Render one block with a *static* start (max trace-time pruning).
@@ -421,6 +440,7 @@ class Program:
         else:
             out, new_states = self._run_step(int(start), states)
         _scatter_states(self.root, new_states)
+        self._fire_block_hooks()
         return out
 
 
@@ -497,6 +517,15 @@ def render_scan(root, start: int, total: int, block: int, bindings=None):
     else:
         out0, states = prog._fn_step(first_start, states, bindings)
 
+    # Side-effect taps (WavWriterPE): their per-block payloads ride the
+    # state pytree (see Program._fire_block_hooks); the scan emits them
+    # as extra ys so every block — not just the last carry — reaches the
+    # host sink, in block order. Graphs without writers pay nothing.
+    writers = [pe for pe in prog._walked if hasattr(pe, "_eng_on_block")]
+    tap_keys = [f"pe{pe._uid}" for pe in writers]
+    tap0 = {k: states[k]["user"] for k in tap_keys if k in states}
+
+    tap_rest = None
     if n_blocks > 1:
         starts = start + block * jnp.arange(1, n_blocks, dtype=prec.INDEX)
 
@@ -505,29 +534,43 @@ def render_scan(root, start: int, total: int, block: int, bindings=None):
 
                 def step(carry, s):
                     out, new_carry = prog._run_step(s, carry)
-                    return new_carry, out
+                    taps = {k: new_carry[k]["user"] for k in tap_keys}
+                    return new_carry, (out, taps)
 
                 prog._scan_fn = jax.jit(lambda st, xs: jax.lax.scan(step, st, xs))
-            states, rest = prog._scan_fn(states, starts)
+            states, (rest, tap_rest) = prog._scan_fn(states, starts)
         else:
             if prog._scan_fn_bound is None:
 
                 def step_bound(b, carry, s):
                     out, new_carry = prog._run_step(s, carry, b)
-                    return new_carry, out
+                    taps = {k: new_carry[k]["user"] for k in tap_keys}
+                    return new_carry, (out, taps)
 
                 prog._scan_fn_bound = jax.jit(
                     lambda st, xs, b: jax.lax.scan(
                         lambda c, s: step_bound(b, c, s), st, xs
                     )
                 )
-            states, rest = prog._scan_fn_bound(states, starts, bindings)
+            states, (rest, tap_rest) = prog._scan_fn_bound(
+                states, starts, bindings
+            )
         out = jnp.concatenate(
             [out0[None], rest], axis=0
         ).reshape(n_blocks * block, -1)[:total]
     else:
         out = out0[:total]
     _scatter_states(root, states)
+    for pe in writers:
+        key = f"pe{pe._uid}"
+        if key not in tap0:
+            continue
+        hook = pe._eng_on_block
+        hook(tap0[key])
+        if tap_rest is not None:
+            stacked = tap_rest[key]
+            for i in range(stacked.shape[0]):
+                hook(stacked[i])
     return out
 
 
@@ -560,17 +603,27 @@ def render_functional(root, start: int, total: int, block: int, bindings=None):
         return out0[:total]
     starts = start + block * jnp.arange(1, n_blocks, dtype=prec.INDEX)
     if prog._scan_fn_bound is None:
+        # Must emit the same (out, taps) ys structure render_scan's
+        # cached variant does — the jitted fn is shared. Functional
+        # renders DISCARD tap payloads (side effects have no place
+        # under grad/vmap).
+        tap_keys = [
+            f"pe{pe._uid}"
+            for pe in prog._walked
+            if hasattr(pe, "_eng_on_block")
+        ]
 
         def step_bound(b, carry, s):
             out, new_carry = prog._run_step(s, carry, b)
-            return new_carry, out
+            taps = {k: new_carry[k]["user"] for k in tap_keys}
+            return new_carry, (out, taps)
 
         prog._scan_fn_bound = jax.jit(
             lambda st, xs, b: jax.lax.scan(
                 lambda c, s: step_bound(b, c, s), st, xs
             )
         )
-    _, rest = prog._scan_fn_bound(states, starts, bindings)
+    _, (rest, _taps) = prog._scan_fn_bound(states, starts, bindings)
     return jnp.concatenate([out0[None], rest], axis=0).reshape(
         n_blocks * block, -1
     )[:total]

@@ -11,9 +11,11 @@ TPU-native rebuilds of:
 Design: readers decode the whole file into a device-resident array at
 first use (audio assets are tiny next to HBM) and render as a fused
 gather — streaming per block from disk would serialize the jitted
-program. The writer emits samples from inside the compiled program via an
-ordered ``io_callback``, so taps work in both the block-render and
-lax.scan render paths. This image has no libsndfile/miniaudio, so WAV
+program. The writer publishes each block through the engine's state
+pytree and a host-side block hook (``_eng_on_block``), so taps work in
+both the block-render and lax.scan render paths — including on
+remote-attached devices, where a device-side host callback would
+deadlock. This image has no libsndfile/miniaudio, so WAV
 decoding is our own RIFF codec (utils/wavio.py) and FLAC decoding is our
 own spec-subset decoder (utils/flacio.py); other compressed formats
 (mp3/ogg) use ``miniaudio`` when present.
@@ -24,7 +26,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
-from jax.experimental import io_callback
 
 from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.config import handle_error
@@ -264,21 +265,24 @@ class WavWriterPE(ProcessingElement):
         sr = self._output_sample_rate or self.sample_rate or 44100
         wavio.write_wav(self._path, data, sr, fmt=self._fmt)
 
-    def _host_append(self, block) -> np.ndarray:
+    def _eng_on_block(self, block) -> None:
+        """Engine block hook: append one rendered block (host side)."""
         block = np.asarray(block)
         if self._open:
             self._chunks.append(block.copy())
             self._frames_written += block.shape[0]
-        return np.zeros((), np.int32)
 
     def _trace(self, ctx):
         x = ctx.pull(self._source)
-        io_callback(
-            self._host_append,
-            jnp.zeros((), jnp.int32),
-            x,
-            ordered=True,
-        )
+        # Publish the block through the state pytree; the engine's
+        # host-side hook (`_eng_on_block`, see engine.Program.
+        # _fire_block_hooks / render_scan's tap ys) appends it after the
+        # block lands on host. The previous design — an ordered
+        # io_callback in the traced program — deadlocks on remote-
+        # attached devices (axon tunnel), where the device cannot call
+        # back into this process mid-program.
+        ctx.state(self, init=lambda: jnp.zeros_like(x))
+        ctx.set_state(self, x)
         return x
 
     def __repr__(self) -> str:

@@ -6,13 +6,12 @@ the absolute sample index (block-invariant, parallel — see
 :mod:`pygmu2_tpu.ops.noise`). Pink runs the Paul Kellet 7-lane filter as
 six *parallel* first-order affine scans plus a one-sample-delayed white
 term (the reference loops per sample in Python); brown is the reference's
-clipped random-walk integrator, a genuinely nonlinear recurrence, run as
-a lax.scan.
+clipped random-walk integrator, run exactly in parallel as a composed-
+clamp associative scan (ops/linrec.clamp_accum_scan).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,7 +19,7 @@ from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import SourcePE
 from pygmu2_tpu.models.modes import NoiseMode
-from pygmu2_tpu.ops.linrec import affine_scan_1
+from pygmu2_tpu.ops.linrec import affine_scan_1, clamp_accum_scan
 from pygmu2_tpu.ops.noise import white_uniform
 
 # Paul Kellet pink filter: six one-pole lanes (decay, drive) + direct and
@@ -122,13 +121,12 @@ class NoisePE(SourcePE):
         last, _ = ctx.state(
             self, init=jnp.zeros((), jnp.float32), reset_on_gap=True
         )
-
-        def step(carry, wi):
-            nxt = jnp.clip(carry + wi * 0.02, -1.0, 1.0)
-            return nxt, nxt
-
-        final, out = jax.lax.scan(step, last, w)
-        ctx.set_state(self, final)
+        # Clipped random walk y[t] = clamp(y[t-1] + 0.02·w[t], -1, 1):
+        # a saturating accumulator, which is EXACTLY parallel via the
+        # composed-clamp associative scan (ops/linrec.clamp_accum_scan)
+        # — bit-identical to the per-sample loop, O(log T) depth.
+        out = clamp_accum_scan(w * 0.02, -1.0, 1.0, last)
+        ctx.set_state(self, out[-1])
         return out
 
     def __repr__(self) -> str:

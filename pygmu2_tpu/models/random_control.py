@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
@@ -173,6 +174,42 @@ class RandomPE(SourcePE):
         )
         (pk0, v0), _ = ctx.state(self, init=init, reset_on_gap=True)
         span = self._max_value - self._min_value
+
+        # The walk only steps at segment boundaries — rate/sr per sample
+        # — so scanning per SAMPLE wastes a ~sr/rate factor of serial
+        # depth. Scan per SEGMENT instead (S ≈ T·rate/sr + 2 steps, e.g.
+        # 5 for an 8 Hz walk over a 16k block), then expand to samples
+        # with an exact MXU one-hot lookup. Falls back to the per-sample
+        # scan when rate approaches the sample rate (k may then skip, and
+        # the segment set isn't smaller than the block).
+        T = int(k.shape[0])
+        s_max = int(np.ceil(T * self._rate / ctx.sample_rate)) + 2
+        if s_max < T // 4:
+            from pygmu2_tpu.ops.table import table_lookup
+
+            k0 = k[0]
+            k_last = k[-1]
+            segs = k0 + jnp.arange(s_max, dtype=k.dtype)  # (S,)
+            seg_steps = (
+                white_uniform(segs, seed=self._seed or 0, lane=_LANE)
+                * self._step_size
+                * span
+            )
+
+            def seg_step(carry, x):
+                pk, v = carry
+                si, stp = x
+                live = si <= k_last  # segments past the block: no-op
+                nv = jnp.where(live & (si > pk), self._fold(v + stp), v)
+                npk = jnp.where(live, jnp.maximum(si, pk), pk)
+                return (npk, nv), nv
+
+            (pk, v), seg_vals = jax.lax.scan(
+                seg_step, (pk0, v0), (segs, seg_steps)
+            )
+            ctx.set_state(self, (pk, v))
+            return table_lookup(seg_vals, (k - k0).astype(jnp.int32))
+
         steps = (
             white_uniform(k, seed=self._seed or 0, lane=_LANE)
             * self._step_size

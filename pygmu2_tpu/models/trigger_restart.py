@@ -209,9 +209,11 @@ class TriggerPE(ProcessingElement):
     tests/test_trigger_pe.py importorskips ``pygmu2.trigger_pe``); this
     is the live TPU-native equivalent. Edge detection carries the
     previous gate sample across blocks, so chunked rendering is exact at
-    any block size. ONE_SHOT's accept-only-when-idle rule is a genuine
-    per-sample recurrence and runs as an unrolled ``lax.scan``; GATED is
-    fully parallel (cummax latch, like TriggerRestartPE).
+    any block size. ONE_SHOT's accept-only-when-idle rule is sequential
+    per ACCEPTED event, not per sample — its src_len refractory period
+    bounds accepted events at ceil(T/src_len)+1 per block, so it runs as
+    that many parallel next-edge jumps (reverse cummin + fori_loop);
+    GATED is fully parallel (cummax latch, like TriggerRestartPE).
     """
 
     def __init__(self, gate, source: ProcessingElement,
@@ -271,14 +273,43 @@ class TriggerPE(ProcessingElement):
             events = jnp.where(edge, t, _NO_EVENT)
             t0 = jax.lax.cummax(jnp.maximum(events, t0_carry))
         else:
-            # ONE_SHOT: accept an edge only when idle (previous clip done)
-            def step(t0c, x):
-                ti, ei = x
-                accept = ei & ((t0c == _NO_EVENT) | (ti - t0c >= src_len))
-                nxt = jnp.where(accept, ti, t0c)
-                return nxt, nxt
+            # ONE_SHOT: accept an edge only when idle (previous clip
+            # done). The accept rule has a refractory period of src_len
+            # samples, so at most ceil(T/src_len)+1 edges are accepted
+            # per block — resolve the acceptance CHAIN with that many
+            # next-edge jumps instead of a per-sample scan:
+            #   nxt[i] = first edge position at/after sample i
+            #            (a reverse cummin — parallel);
+            #   p ← nxt[first idle sample]; accept p; jump p + src_len.
+            T = int(t.shape[0])
+            k_jumps = T // max(src_len, 1) + 1
+            idx32 = jnp.arange(T, dtype=jnp.int32)
+            inf = jnp.int32(T)
+            e_pos = jnp.where(edge, idx32, inf)
+            nxt = jax.lax.cummin(e_pos, reverse=True)
+            # first idle sample, relative to the block start
+            r0 = jnp.where(
+                t0_carry == _NO_EVENT,
+                jnp.zeros((), t.dtype),
+                t0_carry + src_len - t[0],
+            )
+            r0 = jnp.clip(r0, 0, T).astype(jnp.int32)
 
-            _, t0 = jax.lax.scan(step, t0_carry, (t, edge), unroll=32)
+            def jump(_i, carry):
+                r, mask = carry
+                p = jnp.where(r >= T, inf, nxt[jnp.clip(r, 0, T - 1)])
+                hit = p < T
+                mask = mask.at[jnp.clip(p, 0, T - 1)].max(
+                    hit.astype(jnp.int32)
+                )
+                r = jnp.where(hit, p + src_len, inf)
+                return r, mask
+
+            _, acc = jax.lax.fori_loop(
+                0, k_jumps, jump, (r0, jnp.zeros((T,), jnp.int32))
+            )
+            events = jnp.where(acc > 0, t, _NO_EVENT)
+            t0 = jax.lax.cummax(jnp.maximum(events, t0_carry))
 
         ctx.set_state(self, (gate[-1], t0[-1]))
 

@@ -244,3 +244,47 @@ def one_pole_smooth(x, coef, s0=None):
     u = coef * x
     y = affine_scan_1(a, u, s0)
     return y, y[-1]
+
+
+def clamp_accum_scan(d, lo, hi, s0):
+    """Saturating accumulator ``y[t] = clamp(y[t-1] + d[t], lo, hi)``,
+    exactly, as an associative scan (O(log T) depth instead of a
+    per-sample loop).
+
+    The per-step map ``f(y) = clamp(y + s, L, H)`` is closed under
+    composition:
+
+        clamp(clamp(y + s1, L1, H1) + s2, L2, H2)
+          = clamp(y + s1 + s2, clamp(L1 + s2, L2, H2),
+                               clamp(H1 + s2, L2, H2))
+
+    (the standard nested-clamp identity, valid whenever L1 <= H1 and
+    L2 <= H2 — both preserved by the combine), so the triple
+    ``(s, L, H)`` is an associative monoid element. This parallelizes
+    the reference's per-sample brown-noise integrator
+    (reference: src/pygmu2/noise_pe.py:150-171) and any other
+    clipped-running-sum recurrence.
+
+    Args:
+        d: (T, ...) per-step increments.
+        lo / hi: scalar clamp bounds (static floats).
+        s0: (...) state before step 0.
+
+    Returns:
+        y: (T, ...) states after each step.
+    """
+    d = jnp.asarray(d)
+    L0 = jnp.full_like(d, lo)
+    H0 = jnp.full_like(d, hi)
+
+    def combine(left, right):
+        s1, l1, h1 = left
+        s2, l2, h2 = right
+        return (
+            s1 + s2,
+            jnp.clip(l1 + s2, l2, h2),
+            jnp.clip(h1 + s2, l2, h2),
+        )
+
+    S, L, H = jax.lax.associative_scan(combine, (d, L0, H0))
+    return jnp.clip(s0 + S, L, H)

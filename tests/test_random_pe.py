@@ -229,6 +229,20 @@ class TestRandomPEChunkInvariance:
         )
         np.testing.assert_array_equal(whole, parts)
 
+    def test_walk_segment_path_matches_per_sample_path(self):
+        # rate 10 kHz: a 4096-sample one-shot takes the segment-granular
+        # scan (s_max ≈ 931 < T//4), while 32-sample chunks route to the
+        # per-sample scan (s_max ≈ 10 ≥ T//4). Contiguous chunked output
+        # must equal the one-shot bit-for-bit up to f32 noise.
+        whole = render(
+            RandomPE(rate=10000.0, mode=RandomMode.WALK, seed=13), 0, 4096
+        )
+        pe = RandomPE(rate=10000.0, mode=RandomMode.WALK, seed=13)
+        parts = np.concatenate(
+            [render(pe, s, 32) for s in range(0, 4096, 32)]
+        )
+        np.testing.assert_allclose(parts, whole, atol=1e-6)
+
     def test_walk_contiguous_renders_continuous(self):
         pe = RandomPE(rate=200.0, mode=RandomMode.WALK, seed=6)
         whole = render(pe, 0, 2000)
