@@ -78,31 +78,135 @@ def affine_scan_2(a11, a12, a21, a22, u1, u2, s0=None):
 
 
 def affine_scan_2_auto(a11, a12, a21, a22, u1, u2, s0=None):
-    """affine_scan_2, routed through the single-HBM-pass Mosaic kernel
-    (ops/linrec_pallas.py) on the TPU backend for long windows.
+    """affine_scan_2 with accuracy/throughput routing: the single-HBM-pass
+    Mosaic kernel (ops/linrec_pallas.py) for wide batches on TPU, the
+    segmented scan (:func:`affine_scan_2_seg`) for long narrow windows.
 
     The associative scan runs ~log2(T) *global* passes, each streaming
     six (T, C) planes through HBM; the blocked Kogge-Stone kernel reads
-    every plane exactly once (measured on the swept-biquad row). The
-    kernel carries the scan-replay VJP, so gradients are unchanged.
-    Short windows and non-TPU backends keep the associative scan.
+    every plane exactly once and its cost is C-independent up to the
+    128-lane tile. Measured A/B on the v5e (experiments/
+    ab_linrec_paths.py, chained-dispatch amortized): the kernel wins
+    0.45-0.6x at C >= 8, is a wash at C = 2, and LOSES 1.25-2x at C = 1
+    — mono audio leaves 127 of its 128 lanes idle while the associative
+    scan's log-passes stay cheap. Route: kernel only for C >= 4 wide
+    batches on long windows; everything else (and non-TPU backends)
+    keeps the associative scan. The kernel carries the scan-replay VJP,
+    so gradients are unchanged either way.
     """
     from pygmu2_tpu.ops.diffable import kernel_interpret, kernel_path_enabled
 
     u1a = jnp.asarray(u1)
-    if (
-        kernel_path_enabled()
-        and u1a.ndim == 2
-        and u1a.shape[0] >= 4096
-        and u1a.shape[1] <= 128
-    ):
-        from pygmu2_tpu.ops.linrec_pallas import affine_scan_2_pallas
+    if u1a.ndim == 2:
+        if (
+            kernel_path_enabled()
+            and u1a.shape[0] >= 4096
+            and 4 <= u1a.shape[1] <= 128
+        ):
+            from pygmu2_tpu.ops.linrec_pallas import affine_scan_2_pallas
 
-        return affine_scan_2_pallas(
-            a11, a12, a21, a22, u1, u2, s0,
-            chunk=1024, interpret=kernel_interpret(),
-        )
+            return affine_scan_2_pallas(
+                a11, a12, a21, a22, u1, u2, s0,
+                chunk=1024, interpret=kernel_interpret(),
+            )
+        # Narrow batches (mono/stereo PE filters) at EVERY length: the
+        # segmented Kogge-Stone scan — the kernel's numerics without the
+        # kernel's idle lanes, and one structure across block sizes so
+        # chunked and one-shot renders agree to genuine f32 rounding.
+        return affine_scan_2_seg(a11, a12, a21, a22, u1, u2, s0=s0)
     return affine_scan_2(a11, a12, a21, a22, u1, u2, s0=s0)
+
+
+def affine_scan_2_seg(a11, a12, a21, a22, u1, u2, s0=None, *, seg: int = 512):
+    """Order-2 affine scan, segmented for accuracy AND narrow batches.
+
+    The flat associative scan composes up to T near-unit 2x2 maps in
+    f32; at pole radii ~0.997 (a 200 Hz Q=2 biquad) the composed-map
+    rounding blows up to ~0.6 absolute output error. This variant
+    bounds every f32 map composition to ``seg`` steps:
+
+    1. reshape (T, C) -> (L, S, C) segments and run the associative
+       scan WITHIN each segment (parallel over L·C, log2(S) passes);
+    2. stitch segment-final maps through a length-L ``lax.scan`` that
+       propagates the STATE VALUE (2 fused multiply-adds per step — no
+       long map products ever form);
+    3. apply each segment's per-sample prefix map to its incoming state
+       (elementwise).
+
+    Same math as :func:`affine_scan_2`; error growth is that of the
+    chunked Mosaic kernel (ops/linrec_pallas.py). Preferred on narrow
+    batches (C < 4) where the kernel would idle 124+ of its 128 lanes;
+    measured on the v5e it is also ~1.4x faster than the flat scan at
+    (44100, 1) because log passes shrink from log2(T) to log2(seg).
+    """
+    a11, a12, a21, a22, u1, u2 = jnp.broadcast_arrays(
+        a11, a12, a21, a22, u1, u2
+    )
+    T, C = u1.shape
+    seg = min(seg, max(T, 1))
+    L = -(-T // seg)
+    pad = L * seg - T
+
+    def prep(x, fill):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad, C), fill, x.dtype)], axis=0
+            )
+        return x.reshape(L, seg, C)
+
+    # identity-map padding keeps the tail segment's stitch exact
+    m11, m12 = prep(a11, 1.0), prep(a12, 0.0)
+    m21, m22 = prep(a21, 0.0), prep(a22, 1.0)
+    v1, v2 = prep(u1, 0.0), prep(u2, 0.0)
+
+    # Explicit Kogge-Stone within segments (axis=1), mirroring the
+    # Mosaic kernel's inner scan op-for-op. NOT lax.associative_scan:
+    # its balanced recursion is measurably unstable for near-unit-radius
+    # maps under XLA compilation (0.4 absolute error on an 8k-sample
+    # resonant sweep where this form — like the kernel — stays ~1e-4;
+    # see tests/test_linrec_pallas.py's sequential-oracle test).
+    s = 1
+    while s < seg:
+        def sh(x, fill):
+            top = jnp.full((L, s, C), fill, x.dtype)
+            return jnp.concatenate([top, x[:, :-s]], axis=1)
+
+        p11, p12 = sh(m11, 1.0), sh(m12, 0.0)
+        p21, p22 = sh(m21, 0.0), sh(m22, 1.0)
+        q1, q2 = sh(v1, 0.0), sh(v2, 0.0)
+        n11 = m11 * p11 + m12 * p21
+        n12 = m11 * p12 + m12 * p22
+        n21 = m21 * p11 + m22 * p21
+        n22 = m21 * p12 + m22 * p22
+        v1 = m11 * q1 + m12 * q2 + v1
+        v2 = m21 * q1 + m22 * q2 + v2
+        m11, m12, m21, m22 = n11, n12, n21, n22
+        s *= 2
+
+    if s0 is None:
+        c1 = jnp.zeros((C,), u1.dtype)
+        c2 = jnp.zeros((C,), u1.dtype)
+    else:
+        c1 = jnp.broadcast_to(jnp.asarray(s0[0], u1.dtype), (C,))
+        c2 = jnp.broadcast_to(jnp.asarray(s0[1], u1.dtype), (C,))
+
+    finals = tuple(x[:, -1] for x in (m11, m12, m21, m22, v1, v2))
+
+    def stitch(carry, f):
+        x1, x2 = carry
+        f11, f12, f21, f22, g1, g2 = f
+        return (
+            (f11 * x1 + f12 * x2 + g1, f21 * x1 + f22 * x2 + g2),
+            (x1, x2),  # emit the state ENTERING this segment
+        )
+
+    _, (in1, in2) = jax.lax.scan(stitch, (c1, c2), finals)
+
+    s1 = m11 * in1[:, None] + m12 * in2[:, None] + v1
+    s2 = m21 * in1[:, None] + m22 * in2[:, None] + v2
+    s1 = s1.reshape(L * seg, C)[:T]
+    s2 = s2.reshape(L * seg, C)[:T]
+    return s1, s2
 
 
 def affine_scan_nd(A, u, s0):
