@@ -16,7 +16,9 @@ TPU-native rebuilds of:
 TPU design: both hold PEs are *parallel* despite looking stateful — the
 "last latched value" at index i is a cumulative max over event positions,
 so they compile to cummax + gather instead of a scan. The slew limiter's
-clamped/asymmetric updates are data-dependent → lax.scan.
+clamped/asymmetric updates are data-dependent and provably serial
+(ops/slew_pallas.py): a register-resident Mosaic kernel on TPU, an
+unrolled lax.scan elsewhere.
 """
 
 from __future__ import annotations
@@ -177,29 +179,35 @@ class SlewLimiterPE(ProcessingElement):
         return Extent(None, None)
 
     def _trace(self, ctx):
+        from pygmu2_tpu.ops import diffable as _dfb
+        from pygmu2_tpu.ops.slew_pallas import slew_scan_pallas, slew_scan_ref
+
         src = ctx.pull(self._source)[:, 0]
         sr = float(ctx.sample_rate)
         rise_dt = self._rise_rate / sr
         fall_dt = self._fall_rate / sr
         current0, _ = ctx.state(self, init=jnp.zeros((), prec.AUDIO))
 
-        if self._mode == SlewMode.LINEAR:
-
-            def step(cur, x):
-                delta = jnp.clip(x - cur, -fall_dt, rise_dt)
-                nxt = cur + delta
-                return nxt, nxt
-
+        linear = self._mode == SlewMode.LINEAR
+        if linear:
+            p_rise, p_fall = rise_dt, fall_dt
         else:
-            rise_k = min(rise_dt, 1.0)
-            fall_k = min(fall_dt, 1.0)
+            p_rise, p_fall = min(rise_dt, 1.0), min(fall_dt, 1.0)
 
-            def step(cur, x):
-                err = x - cur
-                nxt = cur + jnp.where(err > 0, rise_k, fall_k) * err
-                return nxt, nxt
-
-        final, out = jax.lax.scan(step, current0, src)
+        # Genuinely serial recurrence (slope-{1,0,1} maps staircase under
+        # composition — see ops/slew_pallas.py); the Mosaic kernel keeps
+        # the value in vector registers with an 8-sample unroll.
+        if _dfb.kernel_path_enabled():
+            out, final = slew_scan_pallas(
+                src.astype(jnp.float32), current0,
+                linear=linear, p_rise=float(p_rise), p_fall=float(p_fall),
+                interpret=_dfb.kernel_interpret(),
+            )
+        else:
+            out, final = slew_scan_ref(
+                src, current0,
+                linear=linear, p_rise=float(p_rise), p_fall=float(p_fall),
+            )
         ctx.set_state(self, final)
         return out.astype(prec.AUDIO)[:, None]
 
