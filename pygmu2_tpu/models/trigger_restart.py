@@ -31,8 +31,20 @@ from pygmu2_tpu.core import prec
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.processing_element import ProcessingElement
 from pygmu2_tpu.ops.noise import white_uniform
+from pygmu2_tpu.ops.table import paired_table_lookup
 
 _NO_EVENT = np.int64(-(2**62))
+
+
+def _clip_pick(clip, pos):
+    """Exact ``clip[pos]`` for (L, C) clips and (T,) int32 positions.
+
+    Routed through the one-hot MXU lookup (ops/table.py): XLA's TPU
+    lowering of an elementwise gather is a ~7 ns/element scalar loop,
+    and for large in-program computed clips the remote compiler has
+    been observed to SIGSEGV on the gather+source combination
+    (ResetPE over a 1 s BlitSaw span, round 5)."""
+    return jnp.stack(paired_table_lookup(clip, pos), axis=-1)
 
 
 def _finite_len(pe: ProcessingElement, what: str) -> tuple[int, int]:
@@ -89,7 +101,7 @@ class TriggerRestartPE(ProcessingElement):
         local = t - t0
         valid = (t0 != _NO_EVENT) & (local >= 0) & (local < src_len)
         pos = jnp.clip(local, 0, src_len - 1).astype(jnp.int32)
-        return jnp.where(valid[:, None], clip[pos], 0.0)
+        return jnp.where(valid[:, None], _clip_pick(clip, pos), 0.0)
 
     def __repr__(self) -> str:
         return (
@@ -174,9 +186,18 @@ class RandomSelectPE(ProcessingElement):
         ).astype(jnp.int32)
 
         local = t - t0
-        valid = (t0 != _NO_EVENT) & (local >= 0) & (local < lens[k])
+        # lens[k] would be a (T,)-long scalar-loop gather on TPU; K is
+        # tiny, so select by an exact one-hot contraction instead.
+        len_k = jnp.sum(
+            jax.nn.one_hot(k, len(self._sources), dtype=jnp.int32)
+            * lens.astype(jnp.int32)[None, :],
+            axis=-1,
+        )
+        valid = (t0 != _NO_EVENT) & (local >= 0) & (local < len_k)
         pos = jnp.clip(local, 0, max_len - 1).astype(jnp.int32)
-        out = bank[k, pos]  # (T, C)
+        # flatten (K, max_len, C) -> (K*max_len, C): one fused lookup
+        flat = bank.reshape(-1, bank.shape[-1])
+        out = _clip_pick(flat, k * max_len + pos)  # (T, C)
         return jnp.where(valid[:, None], out, 0.0)
 
     def __repr__(self) -> str:
@@ -318,7 +339,7 @@ class TriggerPE(ProcessingElement):
         if self._mode == TriggerMode.GATED:
             valid = valid & (gate > 0)
         pos = jnp.clip(local, 0, src_len - 1).astype(jnp.int32)
-        return jnp.where(valid[:, None], clip[pos], 0.0)
+        return jnp.where(valid[:, None], _clip_pick(clip, pos), 0.0)
 
     def __repr__(self) -> str:
         return (
@@ -397,7 +418,7 @@ class ResetPE(ProcessingElement):
         local = t - t0 - src_start
         valid = (local >= 0) & (local < src_len)
         pos = jnp.clip(local, 0, src_len - 1).astype(jnp.int32)
-        return jnp.where(valid[:, None], clip[pos], 0.0)
+        return jnp.where(valid[:, None], _clip_pick(clip, pos), 0.0)
 
     def __repr__(self) -> str:
         return (

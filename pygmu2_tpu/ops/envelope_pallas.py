@@ -21,6 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
 
 _LANES = 128
+_UNROLL = 8
 
 
 def envelope_ar_scan_ref(x, env0, *, atk, rel):
@@ -53,23 +54,33 @@ def _make_kernel(atk: float, rel: float, chunk: int, total_rows: int):
         # The envelope lives in the fori_loop carry (vector registers),
         # not VMEM scratch: the body is a pure serial dependency and the
         # per-sample scratch load+store sat on its critical path.
-        # Scratch only carries state BETWEEN grid steps.
-        def body(j, e):
-            xi = x_ref[pl.ds(j, 1), :]  # (1, 128)
-            coeff = jnp.where(
-                xi > e, jnp.float32(atk), jnp.float32(rel)
-            )
-            new = e + coeff * (xi - e)
-            if needs_guard:
-                # Padded tail rows must not advance the envelope (their
-                # y rows are sliced off by the caller).
-                row = i * jnp.int32(chunk) + j
-                new = jnp.where(row < jnp.int32(total_rows), new, e)
-            y_ref[pl.ds(j, 1), :] = new
-            return new
+        # Scratch only carries state BETWEEN grid steps. 8-sample inner
+        # unroll (the ops/slew_pallas.py pattern): one (8, 128) tile
+        # load/store per trip instead of eight (1, 128) rows, so the
+        # serial path is just the compare+fma chain.
+        def body(jb, e):
+            j = jb * jnp.int32(_UNROLL)
+            blk = x_ref[pl.ds(j, _UNROLL), :]  # (UNROLL, 128)
+            outs = []
+            for k in range(_UNROLL):
+                xi = blk[k : k + 1, :]
+                coeff = jnp.where(
+                    xi > e, jnp.float32(atk), jnp.float32(rel)
+                )
+                new = e + coeff * (xi - e)
+                if needs_guard:
+                    # Padded tail rows must not advance the envelope
+                    # (their y rows are sliced off by the caller).
+                    row = i * jnp.int32(chunk) + j + jnp.int32(k)
+                    new = jnp.where(row < jnp.int32(total_rows), new, e)
+                e = new
+                outs.append(e)
+            y_ref[pl.ds(j, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+            return e
 
         final = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(chunk), body, env[pl.ds(0, 1), :]
+            jnp.int32(0), jnp.int32(chunk // _UNROLL), body,
+            env[pl.ds(0, 1), :],
         )
         env[pl.ds(0, 1), :] = final
 
