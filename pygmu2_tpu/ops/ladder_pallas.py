@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pygmu2_tpu.ops.diffable import kernel_with_scan_vjp
 
 _LANES = 128
+_UNROLL = 8
 
 
 def _mode_mix(mode_index: int, u, s1, s2, s3, s4):
@@ -110,62 +111,78 @@ def _make_kernel(os_n: int, pbg: float, mode_index: int,
         # registers — not VMEM scratch: the per-sample body is pure
         # serial dependency, and 18 scratch load/stores per sample were
         # a third of its critical path. Scratch only carries state
-        # BETWEEN grid steps (one load + one store per chunk).
+        # BETWEEN grid steps (one load + one store per chunk). 8-sample
+        # inner unroll (ops/slew_pallas.py pattern): one tile load/store
+        # per trip for each stream, so the remaining cost is the serial
+        # tanh+stage chain itself (see the floor analysis in
+        # BENCHMARKS.md).
         init = tuple(st_ref[pl.ds(k, 1), :] for k in range(9))
 
-        def body(j, carry):
-            z0 = list(carry[0:4])
-            z1 = list(carry[4:8])
-            old = carry[8]
+        def body(jb, carry):
+            j = jb * jnp.int32(_UNROLL)
+            xb = x_ref[pl.ds(j, _UNROLL), :]      # (UNROLL, 128)
+            alb = al_ref[pl.ds(j, _UNROLL), :]    # (UNROLL, 1) broadcasts
+            qab = qa_ref[pl.ds(j, _UNROLL), :]
+            kib = ki_ref[pl.ds(j, _UNROLL), :]
+            dscb = dsc_ref[pl.ds(j, _UNROLL), :]
 
-            xi = x_ref[pl.ds(j, 1), :]          # (1, 128)
-            al = al_ref[pl.ds(j, 1), :]         # (1, 1) broadcasts
-            qa = qa_ref[pl.ds(j, 1), :]
-            ki = ki_ref[pl.ds(j, 1), :]
-            dsc = dsc_ref[pl.ds(j, 1), :]
+            outs = []
+            for k in range(_UNROLL):
+                z0 = list(carry[0:4])
+                z1 = list(carry[4:8])
+                old = carry[8]
 
-            input_sample = xi * dsc
-            quiet = jnp.abs(input_sample) < input_threshold
-            # pin to f32: where(bool, weak, weak) makes f64 under x64
-            decay = jnp.where(
-                quiet, jnp.float32(state_decay), jnp.float32(1.0)
-            )
+                xi = xb[k : k + 1, :]
+                al = alb[k : k + 1, :]
+                qa = qab[k : k + 1, :]
+                ki = kib[k : k + 1, :]
+                dsc = dscb[k : k + 1, :]
 
-            z0 = [z * decay for z in z0]
-            z1 = [z * decay for z in z1]
-            old = old * decay
-
-            total = jnp.zeros_like(input_sample)
-            for s_idx in range(os_n):
-                interp = s_idx * os_recip
-                in_i = interp * old + (1.0 - interp) * input_sample
-                u = jnp.tanh(in_i - (z1[3] - pbg * in_i) * ki * qa)
-                stages = []
-                prev = u
-                for st_i in range(4):
-                    ft = prev * 0.76923077 + 0.23076923 * z0[st_i] - z1[st_i]
-                    ft = ft * al + z1[st_i]
-                    z1[st_i] = ft
-                    z0[st_i] = prev
-                    stages.append(ft)
-                    prev = ft
-                total = total + mode_mix(u, *stages) * os_recip
-
-            y_ref[pl.ds(j, 1), :] = total
-            new = (*z0, *z1, input_sample)
-            if needs_guard:
-                # Padded tail rows must not advance the filter state
-                # (their y rows are sliced off by the caller). All index
-                # math pinned to i32 (x64 promotion breaks Mosaic).
-                row = i * jnp.int32(chunk) + j
-                live = row < jnp.int32(total_rows)
-                new = tuple(
-                    jnp.where(live, n, c) for n, c in zip(new, carry)
+                input_sample = xi * dsc
+                quiet = jnp.abs(input_sample) < input_threshold
+                # pin to f32: where(bool, weak, weak) makes f64 under x64
+                decay = jnp.where(
+                    quiet, jnp.float32(state_decay), jnp.float32(1.0)
                 )
-            return new
+
+                z0 = [z * decay for z in z0]
+                z1 = [z * decay for z in z1]
+                old = old * decay
+
+                total = jnp.zeros_like(input_sample)
+                for s_idx in range(os_n):
+                    interp = s_idx * os_recip
+                    in_i = interp * old + (1.0 - interp) * input_sample
+                    u = jnp.tanh(in_i - (z1[3] - pbg * in_i) * ki * qa)
+                    stages = []
+                    prev = u
+                    for st_i in range(4):
+                        ft = prev * 0.76923077 + 0.23076923 * z0[st_i] - z1[st_i]
+                        ft = ft * al + z1[st_i]
+                        z1[st_i] = ft
+                        z0[st_i] = prev
+                        stages.append(ft)
+                        prev = ft
+                    total = total + mode_mix(u, *stages) * os_recip
+
+                outs.append(total)
+                new = (*z0, *z1, input_sample)
+                if needs_guard:
+                    # Padded tail rows must not advance the filter state
+                    # (their y rows are sliced off by the caller). All
+                    # index math pinned to i32 (x64 promotion breaks
+                    # Mosaic).
+                    row = i * jnp.int32(chunk) + j + jnp.int32(k)
+                    live = row < jnp.int32(total_rows)
+                    new = tuple(
+                        jnp.where(live, n, c) for n, c in zip(new, carry)
+                    )
+                carry = new
+            y_ref[pl.ds(j, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+            return carry
 
         final = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(chunk), body, init
+            jnp.int32(0), jnp.int32(chunk // _UNROLL), body, init
         )
         for k in range(9):
             st_ref[pl.ds(k, 1), :] = final[k]
