@@ -189,6 +189,13 @@ def affine_scan_2_seg(a11, a12, a21, a22, u1, u2, s0=None, *, seg: int = 512):
     else:
         c1 = jnp.broadcast_to(jnp.asarray(s0[0], u1.dtype), (C,))
         c2 = jnp.broadcast_to(jnp.asarray(s0[1], u1.dtype), (C,))
+    # inherit the inputs' varying-mesh-axes type: under shard_map a
+    # fresh-zeros carry is "unvarying" while the stitch body's output is
+    # varying, and lax.scan rejects the mismatch. Both components hang
+    # off u1 — u2 is often itself a fresh-zeros constant (biquad_filter)
+    # and would not carry the vma type.
+    c1 = c1 + u1[0] * 0
+    c2 = c2 + u1[0] * 0
 
     finals = tuple(x[:, -1] for x in (m11, m12, m21, m22, v1, v2))
 

@@ -94,11 +94,15 @@ def render_time_sharded_stateful(
     - ``halo == 0`` (default, **exact**): each device owns a contiguous
       span; the carried state pytree is relayed along the device ring
       with ``ppermute`` — device d starts from exactly the state device
-      d-1 ended with, so the output matches the single-device render
-      bit-for-bit. Rounds serialize on the state chain (wall-clock does
-      not drop), but inputs, outputs, and upstream graph memory are
-      sharded — timelines larger than one device's HBM become
-      renderable.
+      d-1 ended with (no approximation anywhere in the math). Outputs
+      match the single-device render up to XLA's fp instruction
+      scheduling: the shard_map program and the plain block scan are
+      separately compiled modules, and the compiler may legally form
+      fmas differently in each (observed <=3e-6 on a resonant biquad
+      chain; tests pin <=2e-5). Rounds serialize on the state chain
+      (wall-clock does not drop), but inputs, outputs, and upstream
+      graph memory are sharded — timelines larger than one device's
+      HBM become renderable.
 
       NB: unlike ``engine.render_scan`` this does not scatter the final
       state back onto the graph instances — each call renders its span

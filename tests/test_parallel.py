@@ -54,7 +54,13 @@ class TestTimeShardedStateful:
         single = np.asarray(
             engine.render_scan(self._graph(), 0, total, 1024)
         )
-        np.testing.assert_allclose(sharded, single, atol=0.0)
+        # The relay is EXACT in its state chain (device d starts from
+        # precisely the state d-1 ended with); outputs match the
+        # single-device render up to XLA's fp instruction scheduling,
+        # which legally differs between the shard_map program and the
+        # plain block scan (fma formation — observed <=3e-6 on this
+        # resonant chain; round 5, see parallel/render.py docstring).
+        np.testing.assert_allclose(sharded, single, atol=2e-5)
 
     def test_halo_mode_converges(self):
         # halo mode requires *decaying* state only: a pure source (the
