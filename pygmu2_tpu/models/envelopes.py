@@ -345,8 +345,14 @@ class AdsrTriggeredPE(_AdsrBase):
         st, _ = ctx.state(self, init=init)
         sus = self._sustain_level
 
-        S = self._sustain_samples
-        if 0 < S < (1 << 24):
+        # Reference timing (adsr_pe.py:323-328): the sustain branch holds
+        # one more sample than `sustain_samples` — the expiry check runs
+        # pre-update on the transition sample, so the first *decremented*
+        # output lands at entry + S + 2. Our count-based expiry fires one
+        # sample earlier; S + 1 aligns them (golden parity:
+        # tests/test_parity_control.py TestAdsrParity::test_triggered).
+        S = self._sustain_samples + 1
+        if 1 < S < (1 << 24):
             # closed-form primary path, tiered by trigger count with a
             # sequential fallback (see AdsrGatedPE._trace); the absolute
             # sustain deadline is converted to a samples-since-entry

@@ -147,6 +147,11 @@ class AudioReaderPE(_DecodedSource):
             import miniaudio
         except ImportError:
             miniaudio = None
+        # A module without decode_file is not a usable codec — treat it
+        # as absent (the reference-parity oracle injects bare stub
+        # modules for the reference's optional deps, tests/ref_oracle.py).
+        if miniaudio is not None and not hasattr(miniaudio, "decode_file"):
+            miniaudio = None
         if miniaudio is not None:
             decoded = miniaudio.decode_file(self._path)
             data = np.asarray(decoded.samples, dtype=np.float32) / 32768.0

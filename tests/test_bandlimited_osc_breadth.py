@@ -10,6 +10,7 @@ import pytest
 
 import pygmu2_tpu as pg
 from pygmu2_tpu import ArrayPE, BlitSawPE, ConstantPE, CropPE, SuperSawPE
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

@@ -23,6 +23,7 @@ from pygmu2_tpu import (
 )
 from pygmu2_tpu.core.extent import ExtendMode, Extent
 from pygmu2_tpu.models.modes import InterpolationMode
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 def ramp(n=100):

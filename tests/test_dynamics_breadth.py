@@ -22,6 +22,7 @@ from pygmu2_tpu import (
 )
 from pygmu2_tpu.core.renderer import NullRenderer
 from pygmu2_tpu.models.modes import DetectionMode, DynamicsMode
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 def const_env(level: float, channels: int = 1):

@@ -20,6 +20,7 @@ from pygmu2_tpu import (
 )
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.models.modes import DetectionMode, SlewMode
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

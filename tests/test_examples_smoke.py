@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import pygmu2_tpu as pg
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 EXAMPLES = Path(__file__).resolve().parents[1] / "examples"
 sys.path.insert(0, str(EXAMPLES))

@@ -19,6 +19,7 @@ from pygmu2_tpu import (
 )
 from pygmu2_tpu.core.extent import Extent
 from pygmu2_tpu.core.snippet import Snippet
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

@@ -13,6 +13,7 @@ import pytest
 
 from pygmu2_tpu import ControlPE, KarplusStrongPE
 from pygmu2_tpu.models.physical import rho_for_decay_db
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

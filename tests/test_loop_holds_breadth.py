@@ -22,6 +22,7 @@ from pygmu2_tpu import (
     TriggerRestartPE,
 )
 from pygmu2_tpu.core.extent import Extent
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 def ramp(n=100):

@@ -26,6 +26,8 @@ from pygmu2_tpu.utils.temperament import (
     set_verdi_tuning,
 )
 
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
+
 
 @pytest.fixture(autouse=True)
 def _reset_tuning():

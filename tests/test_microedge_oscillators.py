@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import pygmu2_tpu as pg
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

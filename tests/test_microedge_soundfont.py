@@ -24,6 +24,7 @@ from pygmu2_tpu.soundfont import (
 from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
 from pygmu2_tpu.soundfont.midi import MeltysynthError
 from tests.test_soundfont import build_midi
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

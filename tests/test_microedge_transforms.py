@@ -12,6 +12,7 @@ import pytest
 
 import pygmu2_tpu as pg
 from pygmu2_tpu import Extent
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 SR = 44100
 

@@ -20,6 +20,7 @@ from pygmu2_tpu.soundfont import (
     SynthesizerSettings,
 )
 from tests.sf2_builder import build_sf2, make_looped_sample
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 def make_midi(events, resolution=480, bpm=120):

@@ -13,6 +13,7 @@ from pygmu2_tpu import PiecewisePE
 from pygmu2_tpu.core.extent import ExtendMode, Extent
 from pygmu2_tpu.core.snippet import Snippet
 from pygmu2_tpu.models.modes import TransitionType
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 class TestPiecewisePEBasics:

@@ -19,6 +19,7 @@ import pytest
 
 import pygmu2_tpu as pg
 from pygmu2_tpu.core import engine
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 def _ir(n=400, tau=80.0):

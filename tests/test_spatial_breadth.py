@@ -20,6 +20,7 @@ from pygmu2_tpu import (
     SpatialPE,
 )
 from pygmu2_tpu.core.extent import Extent
+pytestmark = pytest.mark.slow  # breadth/fuzz sweep (minutes); fast set = -m 'not slow'
 
 
 def pan_gains(method_cls, azimuth, level=1.0):
