@@ -18,6 +18,8 @@ from pygmu2_tpu.ops.comb_pallas import comb_scan_ref
 from pygmu2_tpu.ops.ks_block import ks_blocked
 from pygmu2_tpu.ops.ks_pallas import ks_scan_ref
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 
 # ---- comb ---------------------------------------------------------------
 
@@ -78,6 +80,7 @@ def test_comb_pe_fast_path_render_matches_sequential_graph():
     out = np.asarray(pe.render(0, 1024).data)
     # sequential oracle through comb_scan_ref on the same pulled input
     x = np.asarray(pg.NoisePE(seed=5).render(0, 1024).data)
+
     sr = 44100.0
     L = max(2, int(np.ceil(sr / 20.0)) + 1)
     y, _, _, _ = comb_scan_ref(

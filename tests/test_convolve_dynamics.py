@@ -23,6 +23,8 @@ from pygmu2_tpu import (
 )
 from tests.ref_oracle import load_reference
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 ref = load_reference()
 SR = 44100
 
@@ -77,6 +79,7 @@ class TestConvolve:
         assert y.shape[1] == 2
         np.testing.assert_allclose(y[0], [1.0, 0.0], atol=1e-6)
         np.testing.assert_allclose(y[1], [0.0, 1.0], atol=1e-6)
+
 
     def test_infinite_fir_rejected(self):
         with pytest.raises(ValueError):

@@ -15,6 +15,10 @@ from pygmu2_tpu import (
     TransitionType,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 
 class TestDelayInt:
     def test_shift(self):
@@ -78,6 +82,7 @@ class TestPiecewise:
     def test_linear_ramp(self):
         pw = PiecewisePE([(0, 0.0), (100, 1.0)])
         s = pw.render(0, 100)
+
         np.testing.assert_allclose(
             s.data[:, 0], np.arange(100) / 100.0, atol=1e-6
         )

@@ -27,6 +27,8 @@ from pygmu2_tpu import (
 )
 from tests.ref_oracle import load_reference
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 ref = load_reference()
 SR = 44100
 
@@ -73,6 +75,7 @@ class TestPanning:
 
         az = PiecewisePE([(0, -90.0), (100, 90.0)])
         s = SpatialPE(ConstantPE(1.0), method=SpatialLinear(az)).render(0, 100)
+
         assert s.data[0, 0] > 0.95  # fully left at start
         assert s.data[99, 1] > 0.93  # mostly right at end
 

@@ -22,6 +22,8 @@ from pygmu2_tpu import (
 from pygmu2_tpu.core.renderer import NullRenderer
 from pygmu2_tpu.utils import wavio
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 
 @pytest.fixture
 def mono_ramp_wav(tmp_path):
@@ -77,6 +79,7 @@ class TestWavReaderBasics:
         path = str(tmp_path / "odd_rate.wav")
         wavio.write_wav(path, np.zeros((10, 1), np.float32), 22050)
         pg.set_error_mode(pg.ErrorMode.LENIENT)
+
         try:
             reader = WavReaderPE(path)
             assert reader.channel_count() == 1  # decodes despite mismatch

@@ -16,6 +16,8 @@ from pygmu2_tpu import (
     SlicePE,
 )
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 
 class TestLoop:
     def test_infinite_loop_of_array(self):
@@ -78,6 +80,7 @@ class TestSlice:
         assert s.data[0, 0] < 0.05
         assert s.data[-1, 0] < 0.05
         np.testing.assert_allclose(s.data[100:300, 0], 1.0)
+
 
     def test_negative_duration_raises(self):
         with pytest.raises(ValueError):

@@ -16,6 +16,8 @@ from pygmu2_tpu import (
 )
 from tests.ref_oracle import load_reference
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 ref = load_reference()
 SR = 44100
 
@@ -78,6 +80,7 @@ class TestSuperSaw:
     def test_bad_mix_mode(self):
         with pytest.raises(ValueError):
             SuperSawPE(220.0, mix_mode="bogus")
+
 
     def test_deterministic_by_seed(self):
         a = SuperSawPE(220.0, seed=5).render(0, 1000).data

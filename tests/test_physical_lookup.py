@@ -26,6 +26,8 @@ from pygmu2_tpu import (
 )
 from tests.ref_oracle import load_reference
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 ref = load_reference()
 SR = 44100
 
@@ -77,6 +79,7 @@ class TestTimeWarp:
 
     def test_state_carry_across_blocks(self):
         src = CropPE(IdentityPE(), 0, 4000)
+
 
         def fresh():
             return TimeWarpPE(CropPE(IdentityPE(), 0, 4000), rate=1.5)

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import pygmu2_tpu as pg
 from pygmu2_tpu.ops.reverse_echo_pallas import reverse_echo_scan_pallas
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 SR = 8000  # small rate keeps the interpret-mode run affordable
 
 
@@ -74,6 +78,7 @@ def test_kernel_pitch_shift_and_alternate():
     ref = _run_scan_pe(x, blk, ratio, fb, alt, 0.05)
     got = _run_kernel(x, blk, ratio, fb, alt, cap)
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
     assert np.abs(ref).max() > 1e-3
 
 

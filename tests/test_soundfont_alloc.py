@@ -29,6 +29,8 @@ from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
 from pygmu2_tpu.soundfont.synthesizer import _NO_RELEASE
 from tests.test_soundfont import build_midi
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 
 def _make_synth(poly=16, block=64):
     font = build_sf2(
@@ -77,6 +79,7 @@ class TestScalarVsVector:
             [synth._priority_of(i) for i in range(32)], dtype=vec.dtype
         )
         np.testing.assert_array_equal(scalar, vec)
+
 
     def test_stage_boundaries(self):
         """t exactly at each envelope knot picks the same branch."""

@@ -13,6 +13,8 @@ from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
 from pygmu2_tpu.soundfont.offline import render_midi_offline
 from tests.test_soundfont import build_midi
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 SR = 44100
 
 
@@ -78,6 +80,7 @@ class TestOfflineParity:
             {"data": data, "rate": 44100, "root_key": 60, "loop": True,
              "release_tc": -3000}
         ])
+
         # patch loop mode to LOOP_UNTIL_NOTE_OFF (=3) in the igen record:
         font = font.replace(
             struct.pack("<Hh", 54, 1), struct.pack("<Hh", 54, 3)

@@ -29,6 +29,8 @@ from pygmu2_tpu.soundfont import offline as off
 from pygmu2_tpu.soundfont.build import build_sf2, make_looped_sample
 from tests.test_soundfont import build_midi
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 SR = 44100
 
 
@@ -76,6 +78,7 @@ CHORD_EVENTS = [
         (0.01 * ch, 0x90 | ch, k, 100),
         (0.27 + 0.013 * ch, 0x80 | ch, k, 0),
     )
+
 ] + [(0.1, 0xE0, 0x00, 0x50)]
 
 

@@ -28,6 +28,8 @@ from pygmu2_tpu.models.modes import (
     WindowMode,
 )
 
+pytestmark = pytest.mark.slow  # heavy sweep (fast set = -m 'not slow'; contract/parity files stay fast)
+
 
 class TestConstantPE:
     def test_create_stores_value(self):
@@ -78,6 +80,7 @@ class TestConstantPE:
         s = ConstantPE(0.4).render(-100, 8)
         assert s.start == -100
         np.testing.assert_allclose(np.asarray(s.data), 0.4, atol=1e-7)
+
 
     def test_render_large_value(self):
         np.testing.assert_allclose(
